@@ -1,0 +1,70 @@
+import textwrap
+
+import pytest
+
+from maskbit_tpu.core.config import Config, load_config
+
+
+@pytest.fixture
+def yaml_file(tmp_path):
+    path = tmp_path / "cfg.yaml"
+    path.write_text(
+        textwrap.dedent(
+            """
+            experiment:
+                name: "demo"
+                max_train_examples: 1_281_167
+            model:
+                vq_model:
+                    token_size: 12
+                    channel_mult: [1, 1, 2, 2, 4]
+            optimizer:
+                params:
+                    learning_rate: 1e-4
+            lr_scheduler:
+                params:
+                    learning_rate: ${optimizer.params.learning_rate}
+            """
+        )
+    )
+    return str(path)
+
+
+def test_attribute_access(yaml_file):
+    cfg = load_config(yaml_file)
+    assert cfg.experiment.name == "demo"
+    assert cfg.model.vq_model.token_size == 12
+    assert list(cfg.model.vq_model.channel_mult) == [1, 1, 2, 2, 4]
+
+
+def test_interpolation(yaml_file):
+    cfg = load_config(yaml_file)
+    assert cfg.lr_scheduler.params.learning_rate == pytest.approx(1e-4)
+
+
+def test_cli_overrides(yaml_file):
+    cfg = load_config(
+        yaml_file,
+        overrides=[
+            "model.vq_model.token_size=18",
+            "experiment.name=other",
+            "training.new_flag=true",
+        ],
+    )
+    assert cfg.model.vq_model.token_size == 18
+    assert cfg.experiment.name == "other"
+    assert cfg.training.new_flag is True
+
+
+def test_get_with_default(yaml_file):
+    cfg = load_config(yaml_file)
+    assert cfg.model.vq_model.get("num_res_blocks_decoder", 2) == 2
+    assert cfg.model.vq_model.get("token_size", 0) == 12
+
+
+def test_merge_and_dotted_select():
+    cfg = Config({"a": {"b": 1}})
+    merged = cfg.merge({"a": {"c": 2}})
+    assert merged.a.b == 1 and merged.a.c == 2
+    assert merged.select("a.c") == 2
+    assert merged.select("a.missing", default=7) == 7
