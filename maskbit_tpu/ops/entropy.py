@@ -73,9 +73,14 @@ def lfq_entropy_terms(
     n_codes = 2**num_bits
     inv_t = 1.0 / temperature
 
+    # The affinity is divided by a tiny temperature (0.01), so the matmul must
+    # run at full f32 precision — the default TPU/bf16 matmul precision loses
+    # ~3e-3 relative, which the exp() blows up into O(1) probability error.
+    dot = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
     if n_codes <= chunk_size:
         cb = lfq_codebook(num_bits)
-        affinity = 2.0 * rows @ cb.T
+        affinity = 2.0 * dot(rows, cb.T)
         return entropy_loss_fn(affinity, temperature, entropy_gamma)
 
     # log Z per row, exact: sum_k log(2 cosh(2 z_k / T))
@@ -88,7 +93,7 @@ def lfq_entropy_terms(
 
     def body(carry, cb_chunk):
         psum, avg_ent = carry
-        logits = (2.0 * inv_t) * (rows @ cb_chunk.T)  # (R, chunk)
+        logits = (2.0 * inv_t) * dot(rows, cb_chunk.T)  # (R, chunk)
         p = jnp.exp(logits - log_z[:, None])
         # per-sample: sum over codes of p * clamp_log(p), accumulated per row
         psum = psum + jnp.sum(p * clamp_log(p), axis=-1)

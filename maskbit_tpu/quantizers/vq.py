@@ -53,10 +53,11 @@ class SimpleVectorizer(nn.Module):
         z_flat = z.reshape(-1, d)
 
         # ||z - e||^2 = ||z||^2 + ||e||^2 - 2 z.e — one MXU matmul.
+        # Full f32 precision: nearest-neighbour argmin is sensitive to ties.
         distances = (
             jnp.sum(z_flat**2, axis=1, keepdims=True)
             + jnp.sum(embedding**2, axis=1)
-            - 2.0 * z_flat @ embedding.T
+            - 2.0 * jnp.matmul(z_flat, embedding.T, precision=lax.Precision.HIGHEST)
         )
 
         min_encoding_indices = jnp.argmin(distances, axis=1)

@@ -12,8 +12,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Parity tests compare against float32 PyTorch: force full-precision matmuls
+# (JAX's default matmul precision is bf16-class even on CPU).
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 @pytest.fixture
