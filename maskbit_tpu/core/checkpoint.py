@@ -1,0 +1,90 @@
+"""Checkpointing: Orbax-managed train state + bare-model export.
+
+Parity target: the reference's dual-format saves
+(scripts/train_tokenizer.py:620-653):
+  1. full training state (model + optimizers + schedulers + EMA) for resume,
+  2. a bare `pytorch_model.bin`-style weights file for the model zoo,
+plus `metadata.json` holding the global step, and the resume-latest contract
+(glob newest checkpoint, scripts/train_tokenizer.py:298-331).
+
+Here (1) is an Orbax CheckpointManager directory tree and (2) is a flax
+msgpack file; `load_pretrained` also accepts reference `.bin` checkpoints
+through the compat converter.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+from flax import serialization
+
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin wrapper over Orbax with the reference's metadata/resume contract."""
+
+    def __init__(self, directory: str, max_to_keep: Optional[int] = None):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True)
+        self._manager = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state: Any, metadata: Optional[dict] = None) -> None:
+        self._manager.save(step, args=ocp.args.StandardSave(state))
+        self._manager.wait_until_finished()
+        meta = {"global_step": int(step)}
+        if metadata:
+            meta.update(metadata)
+        with open(os.path.join(self.directory, f"metadata-{step}.json"), "w") as f:
+            json.dump(meta, f)
+
+    def latest_step(self) -> Optional[int]:
+        return self._manager.latest_step()
+
+    def restore_latest(self, abstract_state: Any) -> Optional[Tuple[Any, int]]:
+        step = self.latest_step()
+        if step is None:
+            return None
+        restored = self._manager.restore(step, args=ocp.args.StandardRestore(abstract_state))
+        return restored, step
+
+    def close(self):
+        self._manager.close()
+
+
+def save_pretrained(params: Any, path: str) -> None:
+    """Bare-model export (flax msgpack) — the zoo format of this framework."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    data = serialization.to_bytes(jax.device_get(params))
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def load_pretrained(path: str, template: Any = None) -> Any:
+    """Load bare model weights.
+
+    * `.msgpack` — this framework's native format
+    * `.bin` / `.pth` — a PyTorch reference checkpoint (tokenizer or
+      generator is auto-detected from its keys), converted on the fly.
+    """
+    if path.endswith((".bin", ".pth", ".pt")):
+        from maskbit_tpu.compat.torch_convert import (
+            convert_generator_state,
+            convert_tokenizer_state,
+            load_torch_state_dict,
+        )
+
+        state = load_torch_state_dict(path)
+        if any(k.startswith(("encoder.", "decoder.")) for k in state):
+            return convert_tokenizer_state(state)
+        return convert_generator_state(state)
+
+    with open(path, "rb") as f:
+        data = f.read()
+    if template is not None:
+        return serialization.from_bytes(template, data)
+    return serialization.msgpack_restore(data)

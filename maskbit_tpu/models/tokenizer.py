@@ -151,6 +151,8 @@ class ConvVQModel(nn.Module):
         else:
             z_quantized, result_dict = self.encode(x, train=train)
         decoded = self.decode(z_quantized)
+        # expose the latent for the adaptive-GAN-weight vjp in the trainer
+        result_dict = dict(result_dict, z_quantized=z_quantized)
         return decoded, result_dict
 
     def _finetuning_encoder_forward(self, x: jnp.ndarray

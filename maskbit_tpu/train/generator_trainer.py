@@ -1,0 +1,114 @@
+"""Stage-II (MaskBit generator) training step.
+
+Parity target: the hot loop of reference scripts/train_maskbit.py:352-522:
+  * frozen Stage-I tokenizer encodes images to tokens inline (no_grad)
+  * factorized-token split (codebook_splits)
+  * arccos-schedule random masking
+  * class-label dropout (CFG training)
+  * MLM cross-entropy with label smoothing, grad clip, AdamW, EMA
+
+TPU-first: the frozen tokenizer encode is fused into the same jit as the
+transformer fwd/bwd (one XLA program per step); randomness is explicit
+`jax.random` keys split per consumer.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from maskbit_tpu.core.ema import EmaState, ema_update, init_ema
+from maskbit_tpu.losses.mlm import MLMLossConfig, mlm_loss
+from maskbit_tpu.ops.bitops import split_factorized_tokens
+from maskbit_tpu.ops.masking import get_mask_tokens
+
+
+class GeneratorTrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt: Any
+    ema: Optional[EmaState]
+
+
+def init_generator_train_state(
+    model,
+    tx: optax.GradientTransformation,
+    rng: jax.Array,
+    use_ema: bool = True,
+) -> GeneratorTrainState:
+    tokens = jnp.zeros((1, model.seq_len, model.codebook_splits), jnp.int32)
+    labels = jnp.zeros((1,), jnp.int32)
+    variables = model.init(rng, tokens, labels)
+    params = variables["params"]
+    return GeneratorTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt=tx.init(params),
+        ema=init_ema(params) if use_ema else None,
+    )
+
+
+def make_generator_train_step(
+    model,
+    tokenizer,
+    tx: optax.GradientTransformation,
+    mlm_cfg: MLMLossConfig,
+    mask_schedule: str = "arccos",
+    class_label_dropout: float = 0.1,
+    ema_kwargs: Optional[Mapping[str, Any]] = None,
+) -> Callable:
+    """Build train_step(state, tokenizer_vars, images, labels, rng).
+
+    `tokenizer_vars` are the frozen Stage-I weights; images NHWC in [0, 1].
+    """
+    ema_kwargs = dict(ema_kwargs or {})
+    codebook_size = tokenizer.codebook_size
+    splits = model.codebook_splits
+    mask_token = model.mask_token
+
+    def train_step(state: GeneratorTrainState, tokenizer_vars, images, labels, rng):
+        rng_mask, rng_drop, rng_dropout = jax.random.split(rng, 3)
+
+        # frozen tokenizer encode (reference train_maskbit.py:362-365)
+        tokens_grid = tokenizer.apply(tokenizer_vars, images, method="tokenize")
+        tokens = lax.stop_gradient(tokens_grid.reshape(images.shape[0], -1))
+
+        split_tokens = split_factorized_tokens(tokens, codebook_size, splits)
+        masked_tokens, masks = get_mask_tokens(
+            rng_mask, split_tokens, mask_token, mode=mask_schedule
+        )
+        drop_label_mask = (
+            jax.random.uniform(rng_drop, (images.shape[0],)) < class_label_dropout
+        )
+
+        def loss_fn(params):
+            logits = model.apply(
+                {"params": params},
+                masked_tokens,
+                labels,
+                drop_label_mask,
+                deterministic=False,
+                rngs={"dropout": rng_dropout},
+            )
+            return mlm_loss(logits, split_tokens, masks, mlm_cfg)
+
+        (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        new_ema = state.ema
+        if state.ema is not None:
+            new_ema = ema_update(state.ema, new_params, **ema_kwargs)
+
+        new_state = GeneratorTrainState(
+            step=state.step + 1, params=new_params, opt=new_opt, ema=new_ema
+        )
+        metrics = dict(loss_dict)
+        metrics["train/masked_fraction"] = jnp.mean(masks.astype(jnp.float32))
+        return new_state, metrics
+
+    return train_step

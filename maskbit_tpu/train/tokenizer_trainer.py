@@ -1,0 +1,241 @@
+"""Stage-I (tokenizer/VQGAN) training step.
+
+Parity target: the hot loop of reference scripts/train_tokenizer.py:340-541:
+  * generator pass: recon + perceptual + quantizer + adaptive-weighted GAN
+    loss, grad clip, AdamW, LR schedule
+  * adaptive d-weight: gradients of the nll and GAN losses w.r.t. the
+    decoder's final conv kernel (reference losses.py:95-111) — computed here
+    with one `jax.vjp` against that single leaf (1 decoder forward + 2
+    backwards; XLA CSEs the duplicate forward)
+  * discriminator pass gated by `discriminator_start`
+    (reference :144-146,398-434), LeCam EMA state
+  * model EMA update (reference :438-439)
+
+TPU-first: gen+disc updates, EMA and metrics form ONE jit'd function; under
+a Mesh the batch comes in sharded on the data axis and XLA inserts the grad
+all-reduces (the accelerate/DDP layer of the reference has no analogue —
+GSPMD is the distributed runtime).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Mapping, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from maskbit_tpu.core.ema import EmaState, ema_update, init_ema
+from maskbit_tpu.losses import gan
+from maskbit_tpu.losses.vqgan import (
+    LecamState,
+    VQGANLossConfig,
+    calculate_adaptive_weight,
+    generator_loss,
+    nll_loss_only,
+)
+
+
+class TokenizerTrainState(NamedTuple):
+    step: jnp.ndarray
+    gen_params: Any
+    gen_opt: Any
+    disc_params: Any
+    disc_opt: Any
+    ema: Optional[EmaState]
+    lecam: LecamState
+
+
+def make_optimizer(
+    learning_rate_schedule,
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+    weight_decay: float = 1e-4,
+    epsilon: float = 1e-8,
+    max_grad_norm: Optional[float] = 1.0,
+    gradient_accumulation_steps: int = 1,
+) -> optax.GradientTransformation:
+    """AdamW + global-norm clip (+ optional gradient accumulation),
+    mirroring the reference optimizer setup (train_tokenizer.py:171-207)."""
+    chain = []
+    if max_grad_norm is not None and max_grad_norm > 0:
+        chain.append(optax.clip_by_global_norm(max_grad_norm))
+    chain.append(
+        optax.adamw(
+            learning_rate=learning_rate_schedule,
+            b1=beta1,
+            b2=beta2,
+            eps=epsilon,
+            weight_decay=weight_decay,
+        )
+    )
+    tx = optax.chain(*chain)
+    if gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=gradient_accumulation_steps)
+    return tx
+
+
+def init_tokenizer_train_state(
+    model,
+    discriminator,
+    gen_tx: optax.GradientTransformation,
+    disc_tx: optax.GradientTransformation,
+    rng: jax.Array,
+    image_shape: Tuple[int, int, int, int],
+    use_ema: bool = True,
+) -> TokenizerTrainState:
+    rng_gen, rng_disc = jax.random.split(rng)
+    images = jnp.zeros(image_shape, jnp.float32)
+    gen_vars = model.init(rng_gen, images)
+    disc_vars = discriminator.init(rng_disc, images)
+    gen_params = gen_vars["params"]
+    disc_params = disc_vars["params"]
+    return TokenizerTrainState(
+        step=jnp.zeros((), jnp.int32),
+        gen_params=gen_params,
+        gen_opt=gen_tx.init(gen_params),
+        disc_params=disc_params,
+        disc_opt=disc_tx.init(disc_params),
+        ema=init_ema(gen_params) if use_ema else None,
+        lecam=LecamState.init(),
+    )
+
+
+def make_tokenizer_train_step(
+    model,
+    discriminator,
+    gen_tx: optax.GradientTransformation,
+    disc_tx: optax.GradientTransformation,
+    loss_cfg: VQGANLossConfig,
+    perceptual_apply: Optional[Callable] = None,
+    ema_kwargs: Optional[Mapping[str, Any]] = None,
+) -> Callable:
+    """Build train_step(state, images, perceptual_vars, rng) -> (state, metrics).
+
+    `perceptual_apply(perceptual_vars, a, b) -> scalar` or None (zeros).
+    Images are NHWC in [0, 1].
+    """
+    ema_kwargs = dict(ema_kwargs or {})
+    use_adaptive = loss_cfg.discriminator_gradient_penalty == "adopt_weight"
+
+    def perceptual_fn(perceptual_vars, a, b):
+        if perceptual_apply is None:
+            return jnp.zeros(())
+        return jnp.mean(perceptual_apply(perceptual_vars, a, b))
+
+    def train_step(state: TokenizerTrainState, images, perceptual_vars, rng):
+        images = images.astype(jnp.float32)
+        step = state.step
+        perc = lambda a, b: perceptual_fn(perceptual_vars, a, b)
+
+        disc_trainable = step >= loss_cfg.discriminator_start
+
+        # ---- generator pass -------------------------------------------------
+        def gen_loss_fn(gen_params):
+            gen_vars = {"params": gen_params}
+            reconstructions, extra = model.apply(gen_vars, images, train=True)
+
+            logits_fake = discriminator.apply({"params": state.disc_params}, reconstructions)
+
+            d_weight = jnp.ones(())
+            if use_adaptive:
+                kernel = gen_params["decoder"]["conv_out"]["kernel"]
+                z_q = lax.stop_gradient(extra["z_quantized"])
+
+                def decode_with_kernel(k):
+                    p2 = jax.tree_util.tree_map(lambda x: x, gen_params)  # shallow copy
+                    p2 = _replace_leaf(p2, ("decoder", "conv_out", "kernel"), k)
+                    return model.apply({"params": p2}, z_q, method="decode")
+
+                recons2, vjp_fn = jax.vjp(decode_with_kernel, kernel)
+                nll_cot = jax.grad(lambda r: nll_loss_only(loss_cfg, images, r, perc))(recons2)
+                (nll_grads,) = vjp_fn(nll_cot)
+                g_cot = jax.grad(
+                    lambda r: gan.G_LOSSES[loss_cfg.discriminator_loss](
+                        discriminator.apply({"params": state.disc_params}, r)
+                    )
+                )(recons2)
+                (g_grads,) = vjp_fn(g_cot)
+                adaptive = calculate_adaptive_weight(nll_grads, g_grads)
+                d_weight = jnp.where(disc_trainable, adaptive, 1.0)
+
+            total, loss_dict = generator_loss(
+                loss_cfg,
+                images,
+                reconstructions,
+                extra,
+                global_step=step,
+                perceptual_fn=perc,
+                logits_fake=logits_fake,
+                d_weight=d_weight,
+            )
+            return total, (loss_dict, reconstructions)
+
+        (gen_loss_val, (gen_metrics, reconstructions)), gen_grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True
+        )(state.gen_params)
+
+        gen_updates, new_gen_opt = gen_tx.update(gen_grads, state.gen_opt, state.gen_params)
+        new_gen_params = optax.apply_updates(state.gen_params, gen_updates)
+
+        # ---- discriminator pass (gated by discriminator_start) --------------
+        def disc_update(_):
+            def disc_loss_fn(disc_params):
+                logits_real = discriminator.apply({"params": disc_params}, images)
+                logits_fake = discriminator.apply(
+                    {"params": disc_params}, lax.stop_gradient(reconstructions)
+                )
+                from maskbit_tpu.losses.vqgan import discriminator_loss as d_loss_fn
+
+                loss, d_dict, new_lecam = d_loss_fn(
+                    loss_cfg, logits_real, logits_fake, step, state.lecam
+                )
+                return loss, (d_dict, new_lecam)
+
+            (_, (d_metrics, new_lecam)), d_grads = jax.value_and_grad(
+                disc_loss_fn, has_aux=True
+            )(state.disc_params)
+            d_updates, new_disc_opt = disc_tx.update(d_grads, state.disc_opt, state.disc_params)
+            new_disc_params = optax.apply_updates(state.disc_params, d_updates)
+            return new_disc_params, new_disc_opt, new_lecam, d_metrics
+
+        def disc_noop(_):
+            zero_metrics = dict(
+                discriminator_loss=jnp.zeros(()),
+                logits_real=jnp.zeros(()),
+                logits_fake=jnp.zeros(()),
+                lecam_loss=jnp.zeros(()),
+            )
+            return state.disc_params, state.disc_opt, state.lecam, zero_metrics
+
+        new_disc_params, new_disc_opt, new_lecam, disc_metrics = lax.cond(
+            disc_trainable, disc_update, disc_noop, operand=None
+        )
+
+        # ---- EMA -------------------------------------------------------------
+        new_ema = state.ema
+        if state.ema is not None:
+            new_ema = ema_update(state.ema, new_gen_params, **ema_kwargs)
+
+        new_state = TokenizerTrainState(
+            step=step + 1,
+            gen_params=new_gen_params,
+            gen_opt=new_gen_opt,
+            disc_params=new_disc_params,
+            disc_opt=new_disc_opt,
+            ema=new_ema,
+            lecam=new_lecam,
+        )
+        metrics = {**gen_metrics, **disc_metrics, "train/total_loss": gen_loss_val}
+        return new_state, metrics
+
+    return train_step
+
+
+def _replace_leaf(tree, path, value):
+    """Pure replacement of a nested dict leaf (returns new dicts along path)."""
+    if len(path) == 1:
+        return {**tree, path[0]: value}
+    return {**tree, path[0]: _replace_leaf(tree[path[0]], path[1:], value)}

@@ -1,0 +1,137 @@
+"""Train-step tests: overfit convergence, disc gating, EMA, multi-device DP."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from maskbit_tpu.losses.mlm import MLMLossConfig
+from maskbit_tpu.losses.vqgan import VQGANLossConfig
+from maskbit_tpu.models.generator import LFQBert
+from maskbit_tpu.models.tokenizer import ConvVQModel
+from maskbit_tpu.nn.discriminator import NLayerDiscriminatorv2
+from maskbit_tpu.parallel.mesh import MeshConfig, batch_sharding, create_mesh
+from maskbit_tpu.train.generator_trainer import (
+    init_generator_train_state,
+    make_generator_train_step,
+)
+from maskbit_tpu.train.tokenizer_trainer import (
+    init_tokenizer_train_state,
+    make_optimizer,
+    make_tokenizer_train_step,
+)
+
+TOKENIZER = ConvVQModel(
+    num_channels=3, hidden_channels=32, channel_mult=(1, 2), num_resolutions=2,
+    num_res_blocks=1, token_size=4, codebook_size=16, quantizer_type="lookup-free",
+    entropy_loss_weight=0.01,
+)
+DISC = NLayerDiscriminatorv2(num_channels=3, hidden_channels=32, num_stages=1)
+IMG = (4, 32, 32, 3)
+
+
+def build_tokenizer_setup(disc_start=0, use_adaptive=True):
+    loss_cfg = VQGANLossConfig(
+        reconstruction_loss="l2", reconstruction_weight=1.0, quantizer_weight=1.0,
+        perceptual_loss="none", perceptual_weight=0.0,
+        discriminator_loss="hinge", discriminator_factor=1.0,
+        discriminator_weight=0.1, discriminator_start=disc_start,
+        discriminator_gradient_penalty="adopt_weight" if use_adaptive else "none",
+        lecam_regularization_weight=0.001,
+    )
+    gen_tx = make_optimizer(1e-3, max_grad_norm=1.0)
+    disc_tx = make_optimizer(1e-3, max_grad_norm=1.0)
+    state = init_tokenizer_train_state(
+        TOKENIZER, DISC, gen_tx, disc_tx, jax.random.key(0), IMG, use_ema=True
+    )
+    step_fn = jax.jit(
+        make_tokenizer_train_step(TOKENIZER, DISC, gen_tx, disc_tx, loss_cfg)
+    )
+    return state, step_fn
+
+
+def test_tokenizer_overfit_one_batch():
+    state, step_fn = build_tokenizer_setup(disc_start=10_000)
+    images = jnp.asarray(np.random.default_rng(0).uniform(size=IMG), jnp.float32)
+    losses = []
+    for i in range(30):
+        state, metrics = step_fn(state, images, None, jax.random.key(i))
+        losses.append(float(metrics["reconstruction_loss"]))
+    assert losses[-1] < losses[0] * 0.9, f"no convergence: {losses[0]} -> {losses[-1]}"
+    assert int(state.step) == 30
+
+
+def test_discriminator_gating():
+    state, step_fn = build_tokenizer_setup(disc_start=3)
+    images = jnp.asarray(np.random.default_rng(1).uniform(size=IMG), jnp.float32)
+    disc_params_0 = jax.tree.map(np.asarray, state.disc_params)
+
+    for i in range(2):
+        state, metrics = step_fn(state, images, None, jax.random.key(i))
+        # before start: no disc update, zero gan metrics
+        assert float(metrics["discriminator_factor"]) == 0.0
+        assert float(metrics["discriminator_loss"]) == 0.0
+    unchanged = jax.tree.map(
+        lambda a, b: np.array_equal(a, np.asarray(b)), disc_params_0, state.disc_params
+    )
+    assert all(jax.tree.leaves(unchanged))
+
+    for i in range(3):
+        state, metrics = step_fn(state, images, None, jax.random.key(10 + i))
+    assert float(metrics["discriminator_factor"]) == 1.0
+    changed = jax.tree.map(
+        lambda a, b: not np.array_equal(a, np.asarray(b)), disc_params_0, state.disc_params
+    )
+    assert any(jax.tree.leaves(changed))
+    # lecam EMA moved away from zero once the disc started training
+    assert float(jnp.abs(state.lecam.ema_real_logits_mean)) > 0.0
+
+
+def test_ema_tracks_params():
+    state, step_fn = build_tokenizer_setup(disc_start=10_000)
+    images = jnp.asarray(np.random.default_rng(2).uniform(size=IMG), jnp.float32)
+    for i in range(3):
+        state, _ = step_fn(state, images, None, jax.random.key(i))
+    # EMA step counter advanced with the optimizer
+    assert int(state.ema.step) == 3
+
+
+def test_generator_overfit_one_batch():
+    # tokenizer downsamples 2x (num_resolutions=2) -> input_stride must be 2
+    gen_img = (4, 16, 16, 3)
+    model = LFQBert(
+        img_size=16, hidden_dim=32, codebook_size=16, codebook_splits=2,
+        depth=1, heads=2, mlp_dim=64, dropout=0.0, nclass=10, input_stride=2,
+    )
+    tx = make_optimizer(3e-3, max_grad_norm=1.0)
+    state = init_generator_train_state(model, tx, jax.random.key(0))
+    tok_vars = TOKENIZER.init(jax.random.key(1), jnp.zeros(gen_img))
+    step_fn = jax.jit(
+        make_generator_train_step(
+            model, TOKENIZER, tx, MLMLossConfig(label_smoothing=0.1),
+            class_label_dropout=0.1,
+        )
+    )
+    images = jnp.asarray(np.random.default_rng(3).uniform(size=gen_img), jnp.float32)
+    labels = jnp.asarray([0, 1, 2, 3])
+    losses = []
+    for i in range(30):
+        state, metrics = step_fn(state, tok_vars, images, labels, jax.random.key(i))
+        losses.append(float(metrics["mlm_loss"]))
+    assert losses[-1] < losses[0], f"no convergence: {losses[0]} -> {losses[-1]}"
+    assert int(state.ema.step) == 30
+
+
+def test_tokenizer_train_step_multidevice():
+    """DP over the 8 virtual CPU devices: batch sharded on the data axis."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = create_mesh(MeshConfig(data=8))
+    state, step_fn = build_tokenizer_setup(disc_start=0, use_adaptive=False)
+    images = np.random.default_rng(4).uniform(size=(8, 32, 32, 3)).astype(np.float32)
+    sharded = jax.device_put(jnp.asarray(images), batch_sharding(mesh))
+    state, metrics = step_fn(state, sharded, None, jax.random.key(0))
+    assert np.isfinite(float(metrics["total_loss"]))
+    state, metrics = step_fn(state, sharded, None, jax.random.key(1))
+    assert np.isfinite(float(metrics["total_loss"]))
