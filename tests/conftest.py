@@ -7,7 +7,7 @@ collective execution over 8 host-backed devices.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force CPU even when an axon TPU is attached
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -15,6 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# the axon site hook re-exports JAX_PLATFORMS=axon; override at config level
+jax.config.update("jax_platforms", "cpu")
 
 # Parity tests compare against float32 PyTorch: force full-precision matmuls
 # (JAX's default matmul precision is bf16-class even on CPU).
