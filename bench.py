@@ -1,0 +1,110 @@
+"""Benchmark: class-conditional 64-step sampling throughput (images/sec/chip).
+
+Matches BASELINE.json config 3: MaskBit-Generator 10-bit, 64-step sampling
+with CFG, batch 8 — the flagship inference path (reference
+modeling/modules/sampling.py:13-136 driven by scripts/eval_maskbit.py).
+
+The whole sampling loop (64 transformer steps with doubled-batch CFG +
+Gumbel-confidence re-masking + final LFQ bit-unpack + conv decode) runs as
+ONE jit'd XLA program; weights are random (throughput only).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` compares against bench_baseline.json (the first recorded run
+on this hardware); 1.0 on the run that creates the file.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 8
+NUM_STEPS = 64
+REPEATS = 5
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+
+
+def build():
+    from maskbit_tpu.models.generator import LFQBert
+    from maskbit_tpu.models.tokenizer import ConvVQModel
+    from maskbit_tpu.sampling.sample import SamplingConfig, make_sampler
+
+    bits = 10
+    compute_dtype = jnp.bfloat16
+
+    tokenizer = ConvVQModel(
+        num_channels=3, hidden_channels=128, channel_mult=(1, 1, 2, 2, 4),
+        num_resolutions=5, num_res_blocks=2, token_size=bits,
+        codebook_size=2**bits, quantizer_type="lookup-free",
+        entropy_loss_weight=0.0, sample_with_conv=True, dtype=compute_dtype,
+    )
+    generator = LFQBert(
+        img_size=256, hidden_dim=1024, codebook_size=2**bits, codebook_splits=2,
+        depth=24, heads=16, mlp_dim=4096, dropout=0.0, nclass=1000,
+        input_stride=16, dtype=compute_dtype,
+    )
+    cfg = SamplingConfig(
+        softmax_temperature=1.0, randomize_temperature=10.5,
+        mask_schedule_strategy="arccos", num_steps=NUM_STEPS,
+        guidance_scale=6.4, mask_token=2**5, patch_size=16,
+        guidance_annealing="cosine", use_sampling_annealing=False,
+        scale_pow=2.5, codebook_size=2**bits, codebook_splits=2,
+    )
+
+    key = jax.random.key(0)
+    gen_vars = jax.jit(generator.init)(
+        key, jnp.zeros((1, 256, 2), jnp.int32), jnp.zeros((1,), jnp.int32)
+    )
+    tok_vars = jax.jit(
+        lambda k: tokenizer.init(k, jnp.zeros((1, 256), jnp.int32), method="decode_tokens")
+    )(key)
+
+    sampler = make_sampler(generator, tokenizer, cfg, jit=True)
+    return sampler, gen_vars, tok_vars
+
+
+def main():
+    sampler, gen_vars, tok_vars = build()
+    labels = jnp.asarray(np.arange(BATCH) % 1000, jnp.int32)
+
+    # compile + warmup (full host sync — block_until_ready alone is not a
+    # reliable fence on the experimental axon relay backend)
+    images, _ = sampler(gen_vars, tok_vars, jax.random.key(1), labels)
+    np.asarray(images)
+
+    times = []
+    for i in range(REPEATS):
+        start = time.perf_counter()
+        images, _ = sampler(gen_vars, tok_vars, jax.random.key(2 + i), labels)
+        np.asarray(images)
+        times.append(time.perf_counter() - start)
+
+    best = min(times)
+    n_chips = jax.device_count()
+    images_per_sec_per_chip = BATCH / best / n_chips
+
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            baseline = json.load(f)["value"]
+    else:
+        baseline = images_per_sec_per_chip
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(
+                {"value": baseline, "note": "first recorded run on this hardware",
+                 "device": str(jax.devices()[0])},
+                f,
+            )
+
+    print(json.dumps({
+        "metric": "images/sec/chip (10-bit generator, 64-step CFG sampling, batch 8)",
+        "value": round(images_per_sec_per_chip, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec_per_chip / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
