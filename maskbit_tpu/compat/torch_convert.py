@@ -72,6 +72,10 @@ def convert_tokenizer_state(state: Mapping[str, np.ndarray]) -> Dict:
     for key, value in state.items():
         if key.endswith(_SKIP_SUFFIXES):
             continue
+        if key.startswith("loss."):
+            # taming checkpoints bundle the training loss module; drop it
+            # (reference modeling/taming_vqgan.py:101-113)
+            continue
         value = _to_numpy(value)
         parts = _merge_indices(key)
         leaf = parts[-1]

@@ -1,0 +1,22 @@
+"""Running-average meter (reference utils/meter.py:4-19)."""
+
+from __future__ import annotations
+
+
+class AverageMeter:
+    """Tracks current value, running sum, count and average."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val: float, n: int = 1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / max(1, self.count)
