@@ -1,0 +1,181 @@
+"""Shared CLI plumbing for the train/eval entry points.
+
+Covers the reference's script preamble (scripts/train_tokenizer.py:41-100):
+workspace dirs from $WORKSPACE, config save, seeding, logger/tracker setup,
+data construction — plus TPU-specific: mesh creation and a synthetic-data
+fallback so every entry point runs end-to-end without an ImageNet copy.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maskbit_tpu.core.config import Config
+from maskbit_tpu.data.tar_reader import SimpleImagenet, expand_shard_pattern
+from maskbit_tpu.parallel.mesh import MeshConfig, create_mesh, is_main_process
+from maskbit_tpu.utils.logger import setup_logger
+from maskbit_tpu.utils.tracker import create_tracker
+
+
+def resolve_compute_dtype(config: Config):
+    mp = config.select("training.mixed_precision", "no")
+    return jnp.bfloat16 if mp in ("bf16", "bfloat16") else jnp.float32
+
+
+def setup_experiment(config: Config, subdir: str = ""):
+    """Workspace dirs, logger, tracker, seed, mesh — returns a context dict."""
+    workspace = os.environ.get("WORKSPACE", "./workspace")
+    name = config.select("experiment.name", "run")
+    output_dir = os.path.join(workspace, name, subdir) if subdir else os.path.join(workspace, name)
+    os.makedirs(output_dir, exist_ok=True)
+
+    logger = setup_logger(
+        "maskbit_tpu", output_file=os.path.join(output_dir, "log.txt")
+    )
+    if is_main_process():
+        config.save_yaml(os.path.join(output_dir, "config.yaml"))
+        tracker = create_tracker(
+            config.select("experiment.logger", "jsonl"),
+            output_dir,
+            project=config.select("experiment.project", "maskbit_tpu"),
+            run_name=name,
+            config=config.to_dict(),
+        )
+    else:
+        tracker = create_tracker("none", output_dir)
+
+    mesh = create_mesh(MeshConfig.from_config(config))
+    seed = int(config.select("training.seed", 42))
+    return dict(
+        output_dir=output_dir, logger=logger, tracker=tracker, mesh=mesh, seed=seed
+    )
+
+
+def synthetic_batches(batch_size: int, resolution: int, seed: int = 0) -> Iterator[dict]:
+    """Random image/label batches — fallback when no shards are available."""
+    rng = np.random.default_rng(seed)
+    while True:
+        yield {
+            "image": rng.uniform(size=(batch_size, resolution, resolution, 3)).astype(np.float32),
+            "class_id": rng.integers(0, 1000, size=(batch_size,)).astype(np.int32),
+        }
+
+
+def build_dataloaders(config: Config, logger, global_batch_size: int):
+    """SimpleImagenet when shards exist; synthetic fallback otherwise.
+
+    Returns (train_iter_factory, eval_iter_factory, is_synthetic)."""
+    params = config.dataset.params
+    prep = config.dataset.preprocessing
+    resolution = prep.get("resolution", 256)
+    train_shards = params.get("train_shards_path_or_url", "")
+    shards_exist = False
+    try:
+        expanded = expand_shard_pattern(train_shards)
+        shards_exist = bool(expanded) and os.path.exists(expanded[0])
+    except Exception:
+        pass
+
+    if not shards_exist:
+        logger.warning(
+            f"Train shards {train_shards!r} not found — using SYNTHETIC data. "
+            "Point dataset.params.train_shards_path_or_url at real shards for training."
+        )
+        per_host = global_batch_size // jax.process_count()
+        make_train = lambda: synthetic_batches(per_host, resolution, seed=0)
+        make_eval = lambda: iter(
+            [next(synthetic_batches(per_host, resolution, seed=1)) for _ in range(2)]
+        )
+        return make_train, make_eval, True
+
+    data = SimpleImagenet(
+        train_shards_path_or_url=train_shards,
+        eval_shards_path_or_url=params.get("eval_shards_path_or_url", train_shards),
+        num_train_examples=config.select("experiment.max_train_examples", 1_281_167),
+        per_device_batch_size=config.select("training.per_device_batch_size", 16),
+        global_batch_size=global_batch_size,
+        num_workers_per_device=params.get("num_workers_per_device", 8),
+        resolution=resolution,
+        shuffle_buffer_size=params.get("shuffle_buffer_size", 1000),
+        min_scale=prep.get("min_scale", 0.8),
+        use_aspect_ratio_aug=prep.get("use_aspect_ratio_aug", True),
+        use_random_crop=prep.get("use_random_crop", True),
+        interpolation=prep.get("interpolation", "bilinear"),
+        seed=int(config.select("training.seed", 42)),
+    )
+    return (lambda: iter(data.train_dataloader)), (lambda: data.eval_dataloader), False
+
+
+def build_perceptual(config: Config, logger):
+    """(apply_fn, variables) for the configured perceptual loss, or (None, None).
+
+    Pretrained backbone weights are loaded from env-configured paths:
+      MASKBIT_RESNET50_WEIGHTS  — torchvision resnet50 state dict (.pth)
+      MASKBIT_LPIPS_WEIGHTS     — LPIPS lin-head weights (vgg_lpips.pth)
+      MASKBIT_VGG16_WEIGHTS     — torchvision vgg16 state dict (.pth)
+    Without weights the loss falls back to 'none' (zeros) with a warning —
+    quantitative training parity requires the real weights.
+    """
+    name = config.select("losses.perceptual_loss", "none")
+    if name == "none" or config.select("losses.perceptual_weight", 0.0) == 0.0:
+        return None, None
+
+    if name in ("resnet50", "convnext_s"):
+        from maskbit_tpu.losses.perceptual import PerceptualLoss, convert_resnet50_state
+
+        path = os.environ.get("MASKBIT_RESNET50_WEIGHTS", "")
+        if name != "resnet50" or not os.path.exists(path):
+            logger.warning(
+                f"Perceptual backbone {name!r} weights unavailable "
+                f"(MASKBIT_RESNET50_WEIGHTS={path!r}); disabling perceptual loss."
+            )
+            return None, None
+        from maskbit_tpu.compat.torch_convert import load_torch_state_dict
+
+        module = PerceptualLoss(
+            model_name=name,
+            compute_on_logits=config.select("losses.perceptual_loss_on_logits", True),
+        )
+        variables = convert_resnet50_state(load_torch_state_dict(path))
+        return (lambda v, a, b: module.apply(v, a, b)), variables
+
+    if name == "lpips":
+        from maskbit_tpu.losses.lpips import LPIPS, load_lpips_params
+
+        lin_path = os.environ.get("MASKBIT_LPIPS_WEIGHTS", "")
+        vgg_path = os.environ.get("MASKBIT_VGG16_WEIGHTS", "")
+        if not (os.path.exists(lin_path) and os.path.exists(vgg_path)):
+            logger.warning(
+                "LPIPS weights unavailable (MASKBIT_LPIPS_WEIGHTS / "
+                "MASKBIT_VGG16_WEIGHTS); disabling perceptual loss."
+            )
+            return None, None
+        module = LPIPS()
+        variables = load_lpips_params(lin_path, vgg_path)
+        return (lambda v, a, b: module.apply(v, a, b)), variables
+
+    raise ValueError(f"Perception loss {name} is not supported.")
+
+
+class StepTimer:
+    """samples/sec + data/batch time meters (reference :335-348,442-468)."""
+
+    def __init__(self):
+        from maskbit_tpu.utils.meter import AverageMeter
+
+        self.batch_time = AverageMeter()
+        self.data_time = AverageMeter()
+        self._end = time.time()
+
+    def data_tick(self):
+        self.data_time.update(time.time() - self._end)
+
+    def batch_tick(self):
+        self.batch_time.update(time.time() - self._end)
+        self._end = time.time()

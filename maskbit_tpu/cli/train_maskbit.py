@@ -1,0 +1,199 @@
+"""Stage-II generator training entry point.
+
+Usage (mirrors reference scripts/train_maskbit.py):
+    python -m maskbit_tpu.cli.train_maskbit config=configs/generator/maskbit_generator_14bit.yaml
+
+Covers the reference loop (scripts/train_maskbit.py:43-522): frozen Stage-I
+tokenizer (loaded from `experiment.vqgan_checkpoint`, .bin or .msgpack),
+LFQBert/Bert + EMA + MLM loss + AdamW/LR schedule, resume-latest,
+overfit-batch harness, periodic logging / checkpointing / sample viz /
+generation eval.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maskbit_tpu.cli.common import (
+    StepTimer,
+    build_dataloaders,
+    resolve_compute_dtype,
+    setup_experiment,
+)
+from maskbit_tpu.core.checkpoint import CheckpointManager, load_pretrained, save_pretrained
+from maskbit_tpu.core.config import config_from_cli
+from maskbit_tpu.losses.mlm import MLMLossConfig
+from maskbit_tpu.models.generator import make_generator
+from maskbit_tpu.models.tokenizer import ConvVQModel
+from maskbit_tpu.parallel.mesh import batch_sharding, is_main_process
+from maskbit_tpu.sampling.sample import SamplingConfig, make_sampler
+from maskbit_tpu.train.generator_trainer import (
+    init_generator_train_state,
+    make_generator_train_step,
+)
+from maskbit_tpu.train.tokenizer_trainer import make_optimizer
+from maskbit_tpu.utils.lr_schedules import get_schedule
+from maskbit_tpu.utils.viz import make_viz_generated_stage_two, make_viz_reconstructed_stage_two
+
+
+def main(argv=None):
+    config = config_from_cli(argv if argv is not None else sys.argv[1:])
+    ctx = setup_experiment(config)
+    logger, tracker, mesh = ctx["logger"], ctx["tracker"], ctx["mesh"]
+    output_dir = ctx["output_dir"]
+    num_devices = jax.device_count()
+
+    dtype = resolve_compute_dtype(config)
+    vq_cfg = config.model.vq_model
+    mlm_cfg = config.model.mlm_model
+
+    tokenizer = ConvVQModel.from_config(vq_cfg, dtype=dtype)
+    generator = make_generator(
+        mlm_cfg.get("model_cls", "lfq_bert"), mlm_cfg, vq_cfg, dtype=dtype
+    )
+    mlm_loss_cfg = MLMLossConfig.from_config(config.select("losses.mlm", {}))
+
+    # frozen Stage-I weights (reference :104-106)
+    vqgan_ckpt = config.select("experiment.vqgan_checkpoint", "")
+    resolution = config.select("dataset.preprocessing.resolution", 256)
+    if vqgan_ckpt and os.path.exists(vqgan_ckpt):
+        tokenizer_vars = load_pretrained(vqgan_ckpt)
+        logger.info(f"loaded frozen tokenizer from {vqgan_ckpt}")
+    else:
+        logger.warning(
+            f"vqgan_checkpoint {vqgan_ckpt!r} not found — initializing a RANDOM "
+            "frozen tokenizer (smoke-test mode only)."
+        )
+        tokenizer_vars = tokenizer.init(
+            jax.random.key(0), jnp.zeros((1, resolution, resolution, 3))
+        )
+
+    opt = config.optimizer.params
+    tx = make_optimizer(
+        get_schedule(
+            config.select("lr_scheduler.scheduler", "constant"),
+            opt.get("learning_rate", 1e-4),
+            num_warmup_steps=config.select("lr_scheduler.params.warmup_steps", 5000),
+            num_training_steps=config.select("training.max_train_steps", 1_000_000),
+            minimum_rate=config.select("lr_scheduler.params.minimum_rate", 0.1),
+        ),
+        beta1=opt.get("beta1", 0.9),
+        beta2=opt.get("beta2", 0.96),
+        weight_decay=opt.get("weight_decay", 0.045),
+        epsilon=opt.get("epsilon", 1e-8),
+        max_grad_norm=config.select("training.max_grad_norm", 1.0),
+        gradient_accumulation_steps=config.select("training.gradient_accumulation_steps", 1),
+    )
+
+    per_device_batch = config.select("training.per_device_batch_size", 32)
+    global_batch = per_device_batch * num_devices
+
+    with mesh:
+        state = init_generator_train_state(
+            generator, tx, jax.random.key(ctx["seed"]),
+            use_ema=config.select("training.use_ema", True),
+        )
+        train_step = jax.jit(
+            make_generator_train_step(
+                generator, tokenizer, tx, mlm_loss_cfg,
+                mask_schedule=mlm_cfg.get("train_mask_schedule_strategy", "arccos"),
+                class_label_dropout=mlm_cfg.get("class_label_dropout", 0.1),
+                ema_kwargs={"decay": 0.9999},
+            )
+        )
+
+        ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"), max_to_keep=3)
+        global_step = 0
+        if config.select("experiment.resume", True):
+            restored = ckpt.restore_latest(jax.tree.map(np.asarray, state))
+            if restored is not None:
+                state, global_step = restored
+                state = jax.tree.map(jnp.asarray, state)
+                logger.info(f"resumed from step {global_step}")
+
+        make_train, make_eval, _ = build_dataloaders(config, logger, global_batch)
+        train_iter = make_train()
+        if config.select("training.overfit_batch", False):
+            n = config.select("training.overfit_batch_num", 1)
+            train_iter = itertools.cycle([next(train_iter) for _ in range(n)])
+            logger.info(f"overfitting on {n} cached batch(es)")
+
+        sampling_cfg = SamplingConfig.from_config(mlm_cfg, vq_cfg)
+        sampler = make_sampler(generator, tokenizer, sampling_cfg, jit=True)
+
+        max_steps = config.select("training.max_train_steps", 1_000_000)
+        log_every = config.select("experiment.log_every", 50)
+        save_every = config.select("experiment.save_every", 100_000)
+        eval_every = config.select("experiment.eval_every", 100_000)
+        generate_every = config.select("experiment.generate_every", 10_000)
+        num_gen = config.select("training.num_generated_images", 4)
+        sharding = batch_sharding(mesh)
+        timer = StepTimer()
+        rng_step = jax.random.key(ctx["seed"] + 1)
+
+        while global_step < max_steps:
+            batch = next(train_iter)
+            timer.data_tick()
+            images = jax.device_put(jnp.asarray(batch["image"]), sharding)
+            labels = jax.device_put(jnp.asarray(batch["class_id"]), sharding)
+            rng_step, sub = jax.random.split(rng_step)
+            state, metrics = train_step(state, tokenizer_vars, images, labels, sub)
+            global_step += 1
+            timer.batch_tick()
+
+            if global_step % log_every == 0:
+                metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                samples_per_sec = global_batch / max(timer.batch_time.avg, 1e-9)
+                metrics["perf/samples_per_sec_per_device"] = samples_per_sec / num_devices
+                tracker.log(metrics, global_step)
+                logger.info(
+                    f"step {global_step}: mlm={metrics['mlm_loss']:.4f} "
+                    f"masked_acc={metrics['masked_correct_tokens']:.4f} "
+                    f"{samples_per_sec / num_devices:.1f} samples/s/dev"
+                )
+
+            if global_step % generate_every == 0 and is_main_process():
+                rng_step, sub = jax.random.split(rng_step)
+                gen_images, _ = sampler(
+                    {"params": _eval_params(state)}, tokenizer_vars, sub,
+                    jnp.asarray(batch["class_id"][:num_gen]),
+                )
+                _, grid = make_viz_generated_stage_two(np.asarray(jnp.clip(gen_images, 0, 1)))
+                tracker.log_image("train/generated", grid, global_step)
+
+            if global_step % save_every == 0:
+                _save(ckpt, state, output_dir, global_step, logger)
+
+            if global_step % eval_every == 0:
+                logger.info(
+                    "in-training generation eval: run cli.eval_maskbit for the "
+                    "full 50k-sample ADM gFID"
+                )
+
+        _save(ckpt, state, output_dir, global_step, logger)
+        tracker.close()
+
+
+def _eval_params(state):
+    return state.ema.params if state.ema is not None else state.params
+
+
+def _save(ckpt, state, output_dir, step, logger):
+    ckpt.save(step, jax.device_get(state))
+    if is_main_process():
+        save_pretrained(jax.device_get(state.params),
+                        os.path.join(output_dir, f"model-{step}.msgpack"))
+        if state.ema is not None:
+            save_pretrained(jax.device_get(state.ema.params),
+                            os.path.join(output_dir, f"ema_model-{step}.msgpack"))
+    logger.info(f"saved checkpoint @ step {step}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,239 @@
+"""Stage-I tokenizer training entry point.
+
+Usage (mirrors the reference CLI, scripts/train_tokenizer.py / README):
+    python -m maskbit_tpu.cli.train_tokenizer config=configs/tokenizer/maskbit_tokenizer_12bit.yaml \
+        experiment.name=my_run training.per_device_batch_size=16
+
+Covers the full reference loop (scripts/train_tokenizer.py:41-661): model +
+EMA + VQGAN loss + twin AdamW/LR schedules, resume-latest, overfit-batch
+harness, periodic logging / checkpointing / reconstruction viz / streaming
+eval. Distribution is a jit over the device mesh (batch sharded on `data`).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from maskbit_tpu.cli.common import (
+    StepTimer,
+    build_dataloaders,
+    build_perceptual,
+    resolve_compute_dtype,
+    setup_experiment,
+)
+from maskbit_tpu.core.checkpoint import CheckpointManager, save_pretrained
+from maskbit_tpu.core.config import config_from_cli
+from maskbit_tpu.losses.vqgan import VQGANLossConfig
+from maskbit_tpu.models.tokenizer import ConvVQModel
+from maskbit_tpu.nn.discriminator import create_discriminator
+from maskbit_tpu.parallel.mesh import batch_sharding, is_main_process
+from maskbit_tpu.train.tokenizer_trainer import (
+    init_tokenizer_train_state,
+    make_optimizer,
+    make_tokenizer_train_step,
+)
+from maskbit_tpu.utils.lr_schedules import get_schedule
+from maskbit_tpu.utils.viz import make_viz_from_samples
+
+
+def build_optimizers(config, num_devices: int):
+    opt = config.optimizer.params
+    lr = opt.get("learning_rate", 1e-4)
+    disc_lr = opt.get("discriminator_learning_rate", lr)
+    if opt.get("scale_lr", False):
+        # reference scales by total batch size (train_tokenizer.py:151-163)
+        scale = (
+            config.select("training.per_device_batch_size", 16)
+            * num_devices
+            * config.select("training.gradient_accumulation_steps", 1)
+        )
+        lr, disc_lr = lr * scale, disc_lr * scale
+
+    sched_kwargs = dict(
+        num_warmup_steps=config.select("lr_scheduler.params.warmup_steps", 5000),
+        num_training_steps=config.select("training.max_train_steps", 1_000_000),
+        minimum_rate=config.select("lr_scheduler.params.minimum_rate", 0.1),
+    )
+    sched_name = config.select("lr_scheduler.scheduler", "constant")
+    common = dict(
+        beta1=opt.get("beta1", 0.9),
+        beta2=opt.get("beta2", 0.999),
+        weight_decay=opt.get("weight_decay", 1e-4),
+        epsilon=opt.get("epsilon", 1e-8),
+        max_grad_norm=config.select("training.max_grad_norm", 1.0),
+        gradient_accumulation_steps=config.select("training.gradient_accumulation_steps", 1),
+    )
+    gen_tx = make_optimizer(get_schedule(sched_name, lr, **sched_kwargs), **common)
+    disc_tx = make_optimizer(get_schedule(sched_name, disc_lr, **sched_kwargs), **common)
+    return gen_tx, disc_tx
+
+
+def main(argv=None):
+    config = config_from_cli(argv if argv is not None else sys.argv[1:])
+    ctx = setup_experiment(config)
+    logger, tracker, mesh = ctx["logger"], ctx["tracker"], ctx["mesh"]
+    output_dir = ctx["output_dir"]
+    num_devices = jax.device_count()
+    logger.info(f"devices={num_devices} mesh={dict(mesh.shape)}")
+
+    dtype = resolve_compute_dtype(config)
+    model = ConvVQModel.from_config(config.model.vq_model, dtype=dtype)
+    discriminator = create_discriminator(config.model.discriminator, dtype=dtype)
+    loss_cfg = VQGANLossConfig.from_config(config.losses)
+    perceptual_apply, perceptual_vars = build_perceptual(config, logger)
+    if perceptual_apply is None and loss_cfg.perceptual_weight > 0:
+        loss_cfg = loss_cfg._replace(perceptual_loss="none", perceptual_weight=0.0)
+
+    gen_tx, disc_tx = build_optimizers(config, num_devices)
+
+    resolution = config.select("dataset.preprocessing.resolution", 256)
+    per_device_batch = config.select("training.per_device_batch_size", 16)
+    global_batch = per_device_batch * num_devices
+    image_shape = (global_batch // jax.process_count(), resolution, resolution, 3)
+
+    rng = jax.random.key(ctx["seed"])
+    with mesh:
+        state = init_tokenizer_train_state(
+            model, discriminator, gen_tx, disc_tx, rng, image_shape,
+            use_ema=config.select("training.use_ema", True),
+        )
+        train_step = jax.jit(
+            make_tokenizer_train_step(
+                model, discriminator, gen_tx, disc_tx, loss_cfg,
+                perceptual_apply=perceptual_apply,
+                ema_kwargs={"decay": 0.999},
+            )
+        )
+
+        ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"), max_to_keep=3)
+        global_step = 0
+        if config.select("experiment.resume", True):
+            restored = ckpt.restore_latest(jax.tree.map(np.asarray, state))
+            if restored is not None:
+                state, global_step = restored
+                state = jax.tree.map(jnp.asarray, state)
+                logger.info(f"resumed from step {global_step}")
+
+        make_train, make_eval, _ = build_dataloaders(config, logger, global_batch)
+        train_iter = make_train()
+
+        # overfit-batch harness (reference :265-273)
+        overfit = config.select("training.overfit_batch", False)
+        if overfit:
+            n = config.select("training.overfit_batch_num", 1)
+            cached = [next(train_iter) for _ in range(n)]
+            import itertools
+
+            train_iter = itertools.cycle(cached)
+            logger.info(f"overfitting on {n} cached batch(es)")
+
+        max_steps = config.select("training.max_train_steps", 1_000_000)
+        log_every = config.select("experiment.log_every", 50)
+        save_every = config.select("experiment.save_every", 20_000)
+        eval_every = config.select("experiment.eval_every", 20_000)
+        generate_every = config.select("experiment.generate_every", 2000)
+        sharding = batch_sharding(mesh)
+        timer = StepTimer()
+        rng_step = jax.random.key(ctx["seed"] + 1)
+
+        while global_step < max_steps:
+            batch = next(train_iter)
+            timer.data_tick()
+            images = jax.device_put(jnp.asarray(batch["image"]), sharding)
+            rng_step, sub = jax.random.split(rng_step)
+            state, metrics = train_step(state, images, perceptual_vars, sub)
+            global_step += 1
+            timer.batch_tick()
+
+            if global_step % log_every == 0:
+                metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                samples_per_sec = global_batch / max(timer.batch_time.avg, 1e-9)
+                metrics.update({
+                    "perf/samples_per_sec_per_device": samples_per_sec / num_devices,
+                    "perf/batch_time": timer.batch_time.avg,
+                    "perf/data_time": timer.data_time.avg,
+                })
+                tracker.log(metrics, global_step)
+                logger.info(
+                    f"step {global_step}: total={metrics.get('total_loss', 0):.4f} "
+                    f"recon={metrics.get('reconstruction_loss', 0):.4f} "
+                    f"{samples_per_sec / num_devices:.1f} samples/s/dev"
+                )
+
+            if global_step % generate_every == 0 and is_main_process():
+                _log_reconstructions(model, state, batch, tracker, global_step,
+                                     config.select("training.num_generated_images", 2))
+
+            if global_step % save_every == 0:
+                _save(ckpt, state, model, output_dir, global_step, logger)
+
+            if global_step % eval_every == 0:
+                results = _eval_reconstruction(model, state, make_eval(), config)
+                tracker.log({f"eval/{k}": v for k, v in results.items()}, global_step)
+                logger.info(f"eval @ {global_step}: {results}")
+
+        _save(ckpt, state, model, output_dir, global_step, logger)
+        tracker.close()
+
+
+def _eval_params(state):
+    return state.ema.params if state.ema is not None else state.gen_params
+
+
+def _save(ckpt, state, model, output_dir, step, logger):
+    ckpt.save(step, jax.device_get(state))
+    if is_main_process():
+        save_pretrained(
+            jax.device_get(state.gen_params),
+            os.path.join(output_dir, f"model-{step}.msgpack"),
+        )
+        if state.ema is not None:
+            save_pretrained(
+                jax.device_get(state.ema.params),
+                os.path.join(output_dir, f"ema_model-{step}.msgpack"),
+            )
+    logger.info(f"saved checkpoint @ step {step}")
+
+
+def _log_reconstructions(model, state, batch, tracker, step, num_images):
+    images = jnp.asarray(batch["image"][:num_images])
+    recons, _ = model.apply({"params": _eval_params(state)}, images)
+    recons = jnp.clip(recons, 0.0, 1.0)
+    _, grid = make_viz_from_samples(np.asarray(images), np.asarray(recons))
+    tracker.log_image("train/reconstructions", grid, step)
+
+
+def _eval_reconstruction(model, state, eval_loader, config, max_batches: int = 50):
+    """In-training streaming eval (reference eval_reconstruction :553-575)."""
+    from maskbit_tpu.eval.streaming import TokenizerEvaluator
+
+    evaluator = TokenizerEvaluator(
+        enable_psnr_score=True, enable_ssim_score=True,
+        enable_mse_error=True, enable_mae_error=True,
+        enable_codebook_usage_measure=True, enable_codebook_entropy_measure=True,
+        num_codebook_entries=config.select("model.vq_model.codebook_size", 1024),
+    )
+    params = {"params": _eval_params(state)}
+    apply_fn = jax.jit(lambda v, x: model.apply(v, x))
+    for i, batch in enumerate(eval_loader):
+        if i >= max_batches:
+            break
+        images = jnp.asarray(batch["image"])
+        recons, result = apply_fn(params, images)
+        evaluator.update(
+            images, jnp.clip(recons, 0.0, 1.0),
+            codebook_indices=result["min_encoding_indices"],
+        )
+    return evaluator.result()
+
+
+if __name__ == "__main__":
+    main()
