@@ -1,0 +1,140 @@
+"""50k-sample ADM-suite generation eval (the headline gFID).
+
+Usage (mirrors reference scripts/eval_maskbit.py):
+    python -m maskbit_tpu.cli.eval_maskbit config=configs/generator/maskbit_generator_14bit.yaml \
+        experiment.vqgan_checkpoint=... experiment.generator_checkpoint=... \
+        eval.stats_path=metrics/stats/train_imagenet256_stats.npz
+
+TPU-first: class-balanced shuffled labels (randperm(1000) x 50, reference
+:107-108), generation sharded over hosts (each host generates its slice of
+the 50k samples; activations are gathered before the FID/IS computation),
+the 64-step sampler + decode as one jit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maskbit_tpu.cli.common import setup_experiment
+from maskbit_tpu.cli.eval_tokenizer import make_inception_fn
+from maskbit_tpu.core.checkpoint import load_pretrained
+from maskbit_tpu.core.config import config_from_cli
+from maskbit_tpu.eval.adm import Evaluator, FIDStatistics
+from maskbit_tpu.models.generator import make_generator
+from maskbit_tpu.models.tokenizer import ConvVQModel
+from maskbit_tpu.sampling.sample import SamplingConfig, make_sampler
+
+
+def main(argv=None):
+    config = config_from_cli(argv if argv is not None else sys.argv[1:])
+    ctx = setup_experiment(config, subdir="eval_generation")
+    logger = ctx["logger"]
+
+    vq_cfg = config.model.vq_model
+    mlm_cfg = config.model.mlm_model
+    dtype = jnp.bfloat16 if config.select("training.mixed_precision", "bf16") in (
+        "bf16", "bfloat16") else jnp.float32
+
+    tokenizer = ConvVQModel.from_config(vq_cfg, dtype=dtype)
+    generator = make_generator(mlm_cfg.get("model_cls", "lfq_bert"), mlm_cfg, vq_cfg, dtype=dtype)
+
+    res = config.select("dataset.preprocessing.resolution", 256)
+    tok_path = config.select("experiment.vqgan_checkpoint", "")
+    gen_path = config.select("experiment.generator_checkpoint", "")
+    if tok_path and os.path.exists(tok_path):
+        tok_vars = load_pretrained(tok_path)
+    else:
+        logger.warning("tokenizer checkpoint missing — RANDOM weights (smoke mode)")
+        tok_vars = tokenizer.init(jax.random.key(0), jnp.zeros((1, res, res, 3)))
+    if gen_path and os.path.exists(gen_path):
+        gen_vars = load_pretrained(gen_path)
+    else:
+        logger.warning("generator checkpoint missing — RANDOM weights (smoke mode)")
+        gen_vars = generator.init(
+            jax.random.key(1),
+            jnp.zeros((1, generator.seq_len, generator.codebook_splits), jnp.int32),
+            jnp.zeros((1,), jnp.int32),
+        )
+
+    sampling_cfg = SamplingConfig.from_config(mlm_cfg, vq_cfg)._replace(
+        patch_size=res // 2 ** (vq_cfg.get("num_resolutions", 5) - 1)
+    )
+    sampler = make_sampler(generator, tokenizer, sampling_cfg, jit=True)
+
+    total_samples = int(config.select("eval.total_samples", 50_000))
+    batch_size = int(config.select("eval.batch_size", 100))
+    seed = int(config.select("training.seed", 42))
+
+    # class-balanced shuffled labels (reference :107-108)
+    rng = np.random.default_rng(seed)
+    labels = rng.permutation(1000).astype(np.int32)
+    labels = np.tile(labels, int(np.ceil(total_samples / 1000)))[:total_samples]
+
+    # shard generation across hosts
+    p_idx, p_cnt = jax.process_index(), jax.process_count()
+    local_labels = labels[p_idx::p_cnt]
+    num_batches = len(local_labels) // batch_size
+
+    inception_fn = make_inception_fn()
+    evaluator = Evaluator(inception_fn) if inception_fn is not None else None
+    if evaluator is None:
+        logger.warning(
+            "MASKBIT_INCEPTION_WEIGHTS not set — generating samples but "
+            "skipping FID/IS computation"
+        )
+
+    acts, logits = [], []
+    key = jax.random.key(seed + p_idx)
+    logger.info(f"generating {num_batches * batch_size} samples on host {p_idx}")
+    for i in range(num_batches):
+        key, sub = jax.random.split(key)
+        y = jnp.asarray(local_labels[i * batch_size : (i + 1) * batch_size])
+        images, _ = sampler(gen_vars, tok_vars, sub, y)
+        images_u8 = np.asarray(jnp.clip(images, 0, 1) * 255.0, np.float32)
+        if evaluator is not None:
+            feats = inception_fn(jnp.asarray(images_u8))
+            acts.append(np.asarray(feats["2048"], np.float64))
+            logits.append(np.asarray(feats["logits_unbiased"], np.float64))
+        if (i + 1) % 10 == 0:
+            logger.info(f"generated {(i + 1) * batch_size} samples")
+
+    results = {}
+    if evaluator is not None:
+        sample_acts = np.concatenate(acts)
+        sample_logits = np.concatenate(logits)
+        if p_cnt > 1:
+            from jax.experimental import multihost_utils
+
+            sample_acts = np.asarray(
+                multihost_utils.process_allgather(sample_acts)
+            ).reshape(-1, sample_acts.shape[-1])
+            sample_logits = np.asarray(
+                multihost_utils.process_allgather(sample_logits)
+            ).reshape(-1, sample_logits.shape[-1])
+        sample_stats = evaluator.compute_statistics(sample_acts)
+        results["InceptionScore"] = evaluator.compute_inception_score_from_logits(sample_logits)
+        stats_path = config.select("eval.stats_path", "")
+        if stats_path and os.path.exists(stats_path):
+            ref_stats = evaluator.read_statistics(stats_path, None)
+            results["FID"] = sample_stats.frechet_distance(ref_stats)
+        else:
+            logger.warning(f"eval.stats_path {stats_path!r} missing — FID skipped")
+
+    logger.info(
+        f"Results for {vq_cfg.get('token_size')} bits with "
+        f"{mlm_cfg.get('num_steps')} steps: {results}"
+    )
+    print(json.dumps(results))
+    with open(os.path.join(ctx["output_dir"], "eval_results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Smoke tests for the eval / demo / shard CLI entry points."""
+
+import json
+
+import numpy as np
+import pytest
+import yaml
+
+TINY_VQ = {
+    "model_class": "vqgan+", "quantizer_type": "lookup-free",
+    "codebook_size": 16, "token_size": 4, "commitment_cost": 0.25,
+    "entropy_loss_weight": 0.0, "num_channels": 3, "hidden_channels": 32,
+    "channel_mult": [1, 2], "num_resolutions": 2, "num_res_blocks": 1,
+    "sample_with_conv": True,
+}
+TINY_MLM = {
+    "model_cls": "lfq_bert", "hidden_dim": 32, "depth": 1, "heads": 2,
+    "mlp_dim": 64, "dropout": 0.0, "guidance_scale": 2.0,
+    "guidance_annealing": "cosine", "num_steps": 2,
+    "train_mask_schedule_strategy": "arccos", "gen_mask_schedule_strategy": "arccos",
+    "softmax_temperature": 1.0, "randomize_temperature": 4.0,
+    "class_label_dropout": 0.1, "scale_pow": 3.0, "use_sampling_annealing": False,
+    "codebook_splits": 2, "use_prenorm": False, "img_size": 32, "input_stride": 2,
+}
+DATASET = {
+    "params": {"train_shards_path_or_url": "/nonexistent/{0000..0001}.tar",
+               "eval_shards_path_or_url": "/nonexistent/{0000..0001}.tar"},
+    "preprocessing": {"resolution": 32, "use_aspect_ratio_aug": False,
+                      "use_random_crop": False, "min_scale": 0.8,
+                      "interpolation": "bilinear"},
+}
+
+
+def _cfg(tmp_path, name, extra):
+    tree = {
+        "experiment": {"name": name, "logger": "jsonl", "resume": False,
+                       "vqgan_checkpoint": "", "max_train_examples": 8},
+        "model": {"vq_model": TINY_VQ},
+        "dataset": DATASET,
+        "training": {"per_device_batch_size": 2, "mixed_precision": "no", "seed": 0},
+    }
+    for k, v in extra.items():
+        node = tree
+        parts = k.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    path = tmp_path / f"{name}.yaml"
+    path.write_text(yaml.safe_dump(tree))
+    return str(path)
+
+
+def test_eval_tokenizer_cli(tmp_path, monkeypatch):
+    from maskbit_tpu.cli.eval_tokenizer import main
+
+    monkeypatch.setenv("WORKSPACE", str(tmp_path / "ws"))
+    monkeypatch.setenv("MASKBIT_EVAL_MAX_BATCHES", "1")
+    results = main([f"config={_cfg(tmp_path, 'eval_tok', {})}"])
+    assert "PSNR" in results and "CodebookUsage" in results
+    saved = json.load(open(tmp_path / "ws" / "eval_tok" / "eval" / "eval_results.json"))
+    assert saved.keys() == results.keys()
+
+
+def test_eval_maskbit_cli(tmp_path, monkeypatch):
+    from maskbit_tpu.cli.eval_maskbit import main
+
+    monkeypatch.setenv("WORKSPACE", str(tmp_path / "ws"))
+    cfg = _cfg(tmp_path, "eval_gen", {
+        "model.mlm_model": TINY_MLM,
+        "eval.total_samples": 4,
+        "eval.batch_size": 2,
+        "experiment.generator_checkpoint": "",
+    })
+    results = main([f"config={cfg}"])
+    # no inception weights in this environment: sampling ran, metrics skipped
+    assert results == {}
+
+
+def test_demo_cli(tmp_path, monkeypatch):
+    from maskbit_tpu.cli.demo import imagenet_classname, main
+
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg(tmp_path, "demo", {
+        "model.mlm_model": TINY_MLM,
+        "demo.num_samples": 2,
+        "demo.labels": [1, 7],
+        "demo.output": str(tmp_path / "samples.png"),
+        "experiment.generator_checkpoint": "",
+    })
+    main([f"config={cfg}"])
+    assert (tmp_path / "samples.png").exists()
+    assert imagenet_classname(282) == "tiger cat"
+
+
+def test_make_shards_cli(tmp_path):
+    from PIL import Image
+
+    from maskbit_tpu.cli.make_shards import main
+    from maskbit_tpu.data.tar_reader import iterate_tar_samples
+
+    rng = np.random.default_rng(0)
+    for synset in ("n01", "n02"):
+        d = tmp_path / "data" / synset
+        d.mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)).save(
+                d / f"{i}.jpeg"
+            )
+    out = str(tmp_path / "shards" / "out-%04d.tar")
+    main(["--data_root", str(tmp_path / "data"), "--output", out, "--maxcount", "3"])
+    samples = list(iterate_tar_samples(str(tmp_path / "shards" / "out-0000.tar")))
+    assert len(samples) == 3
