@@ -129,11 +129,12 @@ def build_perceptual(config: Config, logger):
     if name in ("resnet50", "convnext_s"):
         from maskbit_tpu.losses.perceptual import PerceptualLoss, convert_resnet50_state
 
-        path = os.environ.get("MASKBIT_RESNET50_WEIGHTS", "")
-        if name != "resnet50" or not os.path.exists(path):
+        env = "MASKBIT_RESNET50_WEIGHTS" if name == "resnet50" else "MASKBIT_CONVNEXT_WEIGHTS"
+        path = os.environ.get(env, "")
+        if not os.path.exists(path):
             logger.warning(
                 f"Perceptual backbone {name!r} weights unavailable "
-                f"(MASKBIT_RESNET50_WEIGHTS={path!r}); disabling perceptual loss."
+                f"({env}={path!r}); disabling perceptual loss."
             )
             return None, None
         from maskbit_tpu.compat.torch_convert import load_torch_state_dict
@@ -142,7 +143,13 @@ def build_perceptual(config: Config, logger):
             model_name=name,
             compute_on_logits=config.select("losses.perceptual_loss_on_logits", True),
         )
-        variables = convert_resnet50_state(load_torch_state_dict(path))
+        state = load_torch_state_dict(path)
+        if name == "resnet50":
+            variables = convert_resnet50_state(state)
+        else:
+            from maskbit_tpu.losses.convnext import convert_convnext_small_state
+
+            variables = convert_convnext_small_state(state)
         return (lambda v, a, b: module.apply(v, a, b)), variables
 
     if name == "lpips":
@@ -161,6 +168,38 @@ def build_perceptual(config: Config, logger):
         return (lambda v, a, b: module.apply(v, a, b)), variables
 
     raise ValueError(f"Perception loss {name} is not supported.")
+
+
+class ProfilerHook:
+    """jax.profiler trace over a configured step window.
+
+    Enable with `experiment.profile_steps="10-15"` (inclusive); traces land
+    in <output_dir>/profile for xprof/tensorboard. (The reference has no
+    profiler integration; SURVEY §5 calls for one in the rebuild.)
+    """
+
+    def __init__(self, output_dir: str, spec: str = ""):
+        self._dir = os.path.join(output_dir, "profile")
+        self._start, self._stop = None, None
+        if spec:
+            lo, _, hi = str(spec).partition("-")
+            self._start, self._stop = int(lo), int(hi or lo)
+        self._active = False
+
+    def step(self, global_step: int) -> None:
+        if self._start is None:
+            return
+        if global_step == self._start and not self._active:
+            jax.profiler.start_trace(self._dir)
+            self._active = True
+        elif global_step > self._stop and self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
+    def close(self) -> None:
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
 
 
 class StepTimer:

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from maskbit_tpu.cli.common import (
+    ProfilerHook,
     StepTimer,
     build_dataloaders,
     resolve_compute_dtype,
@@ -135,11 +136,13 @@ def main(argv=None):
         num_gen = config.select("training.num_generated_images", 4)
         sharding = batch_sharding(mesh)
         timer = StepTimer()
+        profiler = ProfilerHook(output_dir, config.select("experiment.profile_steps", ""))
         rng_step = jax.random.key(ctx["seed"] + 1)
 
         while global_step < max_steps:
             batch = next(train_iter)
             timer.data_tick()
+            profiler.step(global_step)
             images = jax.device_put(jnp.asarray(batch["image"]), sharding)
             labels = jax.device_put(jnp.asarray(batch["class_id"]), sharding)
             rng_step, sub = jax.random.split(rng_step)
@@ -177,6 +180,7 @@ def main(argv=None):
                 )
 
         _save(ckpt, state, output_dir, global_step, logger)
+        profiler.close()
         tracker.close()
 
 

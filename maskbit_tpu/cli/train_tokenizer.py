@@ -23,6 +23,7 @@ import numpy as np
 import optax
 
 from maskbit_tpu.cli.common import (
+    ProfilerHook,
     StepTimer,
     build_dataloaders,
     build_perceptual,
@@ -142,11 +143,13 @@ def main(argv=None):
         generate_every = config.select("experiment.generate_every", 2000)
         sharding = batch_sharding(mesh)
         timer = StepTimer()
+        profiler = ProfilerHook(output_dir, config.select("experiment.profile_steps", ""))
         rng_step = jax.random.key(ctx["seed"] + 1)
 
         while global_step < max_steps:
             batch = next(train_iter)
             timer.data_tick()
+            profiler.step(global_step)
             images = jax.device_put(jnp.asarray(batch["image"]), sharding)
             rng_step, sub = jax.random.split(rng_step)
             state, metrics = train_step(state, images, perceptual_vars, sub)
@@ -181,6 +184,7 @@ def main(argv=None):
                 logger.info(f"eval @ {global_step}: {results}")
 
         _save(ckpt, state, model, output_dir, global_step, logger)
+        profiler.close()
         tracker.close()
 
 

@@ -113,11 +113,17 @@ class PerceptualLoss(nn.Module):
 
     @nn.compact
     def __call__(self, input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-        if self.model_name != "resnet50":
+        if self.model_name == "resnet50":
+            model = ResNet50(dtype=self.dtype, name="model")
+        elif self.model_name == "convnext_s":
+            from maskbit_tpu.losses.convnext import ConvNeXtSmall
+
+            model = ConvNeXtSmall(dtype=self.dtype, name="model")
+        else:
             raise NotImplementedError(
-                f"Perceptual backbone {self.model_name!r} not implemented; use 'resnet50'."
+                f"Perceptual backbone {self.model_name!r} not implemented; "
+                "use 'resnet50' or 'convnext_s'."
             )
-        model = ResNet50(dtype=self.dtype, name="model")
 
         def prep(x):
             x = resize_224_bilinear(x)

@@ -74,9 +74,11 @@ class ConvVQModel(nn.Module):
     dtype: Dtype = jnp.float32
 
     @classmethod
-    def from_config(cls, cfg, legacy: bool = False, finetune_decoder: bool = False,
+    def from_config(cls, cfg, legacy: bool = False, finetune_decoder: Optional[bool] = None,
                     dtype: Dtype = jnp.float32) -> "ConvVQModel":
         """Build from a `model.vq_model` config node (reference YAML schema)."""
+        if finetune_decoder is None:
+            finetune_decoder = cfg.get("finetune_decoder", False)
         return cls(
             num_channels=cfg.get("num_channels", 3),
             hidden_channels=cfg.get("hidden_channels", 128),

@@ -97,6 +97,7 @@ def make_generator_train_step(
             return mlm_loss(logits, split_tokens, masks, mlm_cfg)
 
         (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        loss_dict = dict(loss_dict, grad_norm=optax.global_norm(grads))
         updates, new_opt = tx.update(grads, state.opt, state.params)
         new_params = optax.apply_updates(state.params, updates)
 

@@ -176,6 +176,7 @@ def make_tokenizer_train_step(
         (gen_loss_val, (gen_metrics, reconstructions)), gen_grads = jax.value_and_grad(
             gen_loss_fn, has_aux=True
         )(state.gen_params)
+        gen_metrics = dict(gen_metrics, grad_norm=optax.global_norm(gen_grads))
 
         gen_updates, new_gen_opt = gen_tx.update(gen_grads, state.gen_opt, state.gen_params)
         new_gen_params = optax.apply_updates(state.gen_params, gen_updates)

@@ -1,0 +1,91 @@
+"""Architecture/shape tests for the perceptual backbones and LPIPS."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maskbit_tpu.losses.lpips import LPIPS
+from maskbit_tpu.losses.perceptual import PerceptualLoss, ResNet50
+
+
+def test_resnet50_shapes(rng):
+    model = ResNet50()
+    x = jnp.asarray(rng.normal(size=(1, 224, 224, 3)), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    features, logits = model.apply(params, x)
+    assert features.shape == (1, 7, 7, 2048)
+    assert logits.shape == (1, 1000)
+
+
+def test_perceptual_loss_zero_for_identical(rng):
+    model = PerceptualLoss(model_name="resnet50", compute_on_logits=True)
+    x = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), jnp.float32)
+    params = model.init(jax.random.key(0), x, x)
+    loss = model.apply(params, x, x)
+    assert float(loss) == 0.0
+    y = jnp.clip(x + 0.3, 0, 1)
+    loss2 = model.apply(params, x, y)
+    assert float(loss2) > 0.0
+
+
+def test_convnext_small_shapes(rng):
+    from maskbit_tpu.losses.convnext import ConvNeXtSmall
+
+    model = ConvNeXtSmall()
+    x = jnp.asarray(rng.normal(size=(1, 224, 224, 3)), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    features, logits = model.apply(params, x)
+    assert features.shape == (1, 7, 7, 768)
+    assert logits.shape == (1, 1000)
+
+
+def test_convnext_param_count():
+    """torchvision convnext_small has 50.22M params — structural check."""
+    from maskbit_tpu.losses.convnext import ConvNeXtSmall
+
+    model = ConvNeXtSmall()
+    params = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    assert 50.0e6 < n < 50.5e6, f"param count {n}"
+
+
+def test_resnet50_param_count():
+    """torchvision resnet50 has 25.56M params — structural check."""
+    model = ResNet50()
+    params = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    # FrozenBatchNorm stores mean/var as params: subtract the 2x BN stats
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    bn_stats = sum(
+        int(np.prod(p.shape))
+        for path, p in jax.tree_util.tree_flatten_with_path(params)[0]
+        if any(getattr(k, "key", "") in ("mean", "var") for k in path)
+    )
+    assert 25.4e6 < n - bn_stats < 25.7e6, f"param count {n - bn_stats}"
+
+
+def test_lpips_shapes_and_zero(rng):
+    model = LPIPS()
+    x = jnp.asarray(rng.uniform(size=(2, 64, 64, 3)), jnp.float32)
+    params = model.init(jax.random.key(0), x, x)
+    val = model.apply(params, x, x)
+    assert val.shape == (2, 1, 1, 1)
+    np.testing.assert_allclose(np.asarray(val), 0.0, atol=1e-6)
+    y = jnp.clip(x + 0.2, 0, 1)
+    val2 = model.apply(params, x, y)
+    assert np.all(np.asarray(val2) != 0.0)
+
+
+def test_lpips_lin_weights_load():
+    """The reference ships the LPIPS lin-head weights — verify conversion."""
+    import os
+
+    path = "/root/reference/pretrained/vgg_lpips.pth"
+    if not os.path.exists(path):
+        pytest.skip("reference lpips weights unavailable")
+    from maskbit_tpu.losses.lpips import load_lpips_params
+
+    params = load_lpips_params(path)
+    lins = params["params"]
+    for k, ch in zip(range(5), (64, 128, 256, 512, 512)):
+        assert lins[f"lin_{k}"]["kernel"].shape == (1, 1, ch, 1)
