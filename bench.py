@@ -61,6 +61,11 @@ def build():
     tok_vars = jax.jit(
         lambda k: tokenizer.init(k, jnp.zeros((1, 256), jnp.int32), method="decode_tokens")
     )(key)
+    # serve in bf16 weight storage: halves weight HBM traffic
+    to_bf16 = lambda t: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
+    )
+    gen_vars, tok_vars = to_bf16(gen_vars), to_bf16(tok_vars)
 
     sampler = make_sampler(generator, tokenizer, cfg, jit=True)
     return sampler, gen_vars, tok_vars
@@ -70,16 +75,21 @@ def main():
     sampler, gen_vars, tok_vars = build()
     labels = jnp.asarray(np.arange(BATCH) % 1000, jnp.int32)
 
-    # compile + warmup (full host sync — block_until_ready alone is not a
-    # reliable fence on the experimental axon relay backend)
+    # compile + warmup. Host sync via a scalar data dependency: transferring
+    # one element forces the full program to complete without paying the
+    # (slow, tunneled) full-image D2H — block_until_ready alone is not a
+    # reliable fence on the experimental axon relay backend.
+    def sync(x):
+        return float(jnp.sum(x[0, 0, 0]))
+
     images, _ = sampler(gen_vars, tok_vars, jax.random.key(1), labels)
-    np.asarray(images)
+    sync(images)
 
     times = []
     for i in range(REPEATS):
         start = time.perf_counter()
         images, _ = sampler(gen_vars, tok_vars, jax.random.key(2 + i), labels)
-        np.asarray(images)
+        sync(images)
         times.append(time.perf_counter() - start)
 
     best = min(times)
