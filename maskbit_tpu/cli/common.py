@@ -28,8 +28,19 @@ def resolve_compute_dtype(config: Config):
     return jnp.bfloat16 if mp in ("bf16", "bfloat16") else jnp.float32
 
 
+def maybe_init_distributed() -> None:
+    """Multi-host init (one process per host on a pod slice).
+
+    Gated by MASKBIT_MULTIHOST=1 since single-host runs (and the CI CPU mesh)
+    must not call jax.distributed.initialize.
+    """
+    if os.environ.get("MASKBIT_MULTIHOST", "0") == "1":
+        jax.distributed.initialize()
+
+
 def setup_experiment(config: Config, subdir: str = ""):
     """Workspace dirs, logger, tracker, seed, mesh — returns a context dict."""
+    maybe_init_distributed()
     workspace = os.environ.get("WORKSPACE", "./workspace")
     name = config.select("experiment.name", "run")
     output_dir = os.path.join(workspace, name, subdir) if subdir else os.path.join(workspace, name)

@@ -100,12 +100,15 @@ def main(argv=None):
             generator, tx, jax.random.key(ctx["seed"]),
             use_ema=config.select("training.use_ema", True),
         )
+        max_steps = config.select("training.max_train_steps", 1_000_000)
+        log_grad_norm_every = config.select("experiment.log_grad_norm_every", 0)
         train_step = jax.jit(
             make_generator_train_step(
                 generator, tokenizer, tx, mlm_loss_cfg,
                 mask_schedule=mlm_cfg.get("train_mask_schedule_strategy", "arccos"),
                 class_label_dropout=mlm_cfg.get("class_label_dropout", 0.1),
                 ema_kwargs={"decay": 0.9999},
+                log_param_grad_norms=0 < log_grad_norm_every <= max_steps,
             )
         )
 
@@ -128,7 +131,6 @@ def main(argv=None):
         sampling_cfg = SamplingConfig.from_config(mlm_cfg, vq_cfg)
         sampler = make_sampler(generator, tokenizer, sampling_cfg, jit=True)
 
-        max_steps = config.select("training.max_train_steps", 1_000_000)
         log_every = config.select("experiment.log_every", 50)
         save_every = config.select("experiment.save_every", 100_000)
         eval_every = config.select("experiment.eval_every", 100_000)
@@ -150,8 +152,14 @@ def main(argv=None):
             global_step += 1
             timer.batch_tick()
 
+            if log_grad_norm_every and global_step % log_grad_norm_every == 0:
+                norms = {k: float(v) for k, v in jax.device_get(metrics).items()
+                         if k.startswith("grad_norm/")}
+                tracker.log(norms, global_step)
+
             if global_step % log_every == 0:
-                metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                metrics = {k: float(v) for k, v in jax.device_get(metrics).items()
+                           if not k.startswith("grad_norm/")}
                 samples_per_sec = global_batch / max(timer.batch_time.avg, 1e-9)
                 metrics["perf/samples_per_sec_per_device"] = samples_per_sec / num_devices
                 tracker.log(metrics, global_step)

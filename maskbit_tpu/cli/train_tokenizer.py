@@ -106,11 +106,14 @@ def main(argv=None):
             model, discriminator, gen_tx, disc_tx, rng, image_shape,
             use_ema=config.select("training.use_ema", True),
         )
+        max_steps = config.select("training.max_train_steps", 1_000_000)
+        log_grad_norm_every = config.select("experiment.log_grad_norm_every", 0)
         train_step = jax.jit(
             make_tokenizer_train_step(
                 model, discriminator, gen_tx, disc_tx, loss_cfg,
                 perceptual_apply=perceptual_apply,
                 ema_kwargs={"decay": 0.999},
+                log_param_grad_norms=0 < log_grad_norm_every <= max_steps,
             )
         )
 
@@ -136,7 +139,6 @@ def main(argv=None):
             train_iter = itertools.cycle(cached)
             logger.info(f"overfitting on {n} cached batch(es)")
 
-        max_steps = config.select("training.max_train_steps", 1_000_000)
         log_every = config.select("experiment.log_every", 50)
         save_every = config.select("experiment.save_every", 20_000)
         eval_every = config.select("experiment.eval_every", 20_000)
@@ -156,8 +158,14 @@ def main(argv=None):
             global_step += 1
             timer.batch_tick()
 
+            if log_grad_norm_every and global_step % log_grad_norm_every == 0:
+                norms = {k: float(v) for k, v in jax.device_get(metrics).items()
+                         if k.startswith("grad_norm/")}
+                tracker.log(norms, global_step)
+
             if global_step % log_every == 0:
-                metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                metrics = {k: float(v) for k, v in jax.device_get(metrics).items()
+                           if not k.startswith("grad_norm/")}
                 samples_per_sec = global_batch / max(timer.batch_time.avg, 1e-9)
                 metrics.update({
                     "perf/samples_per_sec_per_device": samples_per_sec / num_devices,

@@ -60,6 +60,7 @@ def make_generator_train_step(
     mask_schedule: str = "arccos",
     class_label_dropout: float = 0.1,
     ema_kwargs: Optional[Mapping[str, Any]] = None,
+    log_param_grad_norms: bool = False,
 ) -> Callable:
     """Build train_step(state, tokenizer_vars, images, labels, rng).
 
@@ -110,6 +111,19 @@ def make_generator_train_step(
         )
         metrics = dict(loss_dict)
         metrics["train/masked_fraction"] = jnp.mean(masks.astype(jnp.float32))
+        if log_param_grad_norms:
+            metrics.update(per_param_grad_norms(grads))
         return new_state, metrics
 
     return train_step
+
+
+def per_param_grad_norms(grads) -> dict:
+    """Flat {path: norm} dict for the reference's periodic per-parameter
+    grad-norm dump (scripts/train_tokenizer.py:656-661)."""
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    out = {}
+    for path, leaf in flat:
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        out[f"grad_norm/{name}"] = jnp.linalg.norm(leaf.reshape(-1))
+    return out

@@ -111,6 +111,7 @@ def make_tokenizer_train_step(
     loss_cfg: VQGANLossConfig,
     perceptual_apply: Optional[Callable] = None,
     ema_kwargs: Optional[Mapping[str, Any]] = None,
+    log_param_grad_norms: bool = False,
 ) -> Callable:
     """Build train_step(state, images, perceptual_vars, rng) -> (state, metrics).
 
@@ -177,6 +178,10 @@ def make_tokenizer_train_step(
             gen_loss_fn, has_aux=True
         )(state.gen_params)
         gen_metrics = dict(gen_metrics, grad_norm=optax.global_norm(gen_grads))
+        if log_param_grad_norms:
+            from maskbit_tpu.train.generator_trainer import per_param_grad_norms
+
+            gen_metrics.update(per_param_grad_norms(gen_grads))
 
         gen_updates, new_gen_opt = gen_tx.update(gen_grads, state.gen_opt, state.gen_params)
         new_gen_params = optax.apply_updates(state.gen_params, gen_updates)
