@@ -119,7 +119,7 @@ def generator_loss(
     )
 
     if logits_fake is not None:
-        g_loss = gan.G_LOSSES[cfg.discriminator_loss](logits_fake)
+        g_loss = gan.G_LOSSES[cfg.discriminator_loss](logits_fake.astype(jnp.float32))
     else:
         g_loss = jnp.zeros(())
         discriminator_factor = jnp.zeros(())
@@ -183,6 +183,8 @@ def discriminator_loss(
 ) -> Tuple[jnp.ndarray, Mapping[str, jnp.ndarray], LecamState]:
     """Discriminator-mode loss (reference :234-286). Inputs are the
     discriminator logits on (stop-gradient) real/reconstructed images."""
+    logits_real = logits_real.astype(jnp.float32)
+    logits_fake = logits_fake.astype(jnp.float32)
     discriminator_factor = gan.adopt_weight(
         cfg.discriminator_factor, global_step, threshold=cfg.discriminator_start
     )
