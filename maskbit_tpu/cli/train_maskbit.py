@@ -37,6 +37,7 @@ from maskbit_tpu.sampling.sample import SamplingConfig, make_sampler
 from maskbit_tpu.train.generator_trainer import (
     init_generator_train_state,
     make_generator_train_step,
+    make_generator_train_step_from_tokens,
 )
 from maskbit_tpu.train.tokenizer_trainer import make_optimizer
 from maskbit_tpu.utils.lr_schedules import get_schedule
@@ -102,15 +103,26 @@ def main(argv=None):
         )
         max_steps = config.select("training.max_train_steps", 1_000_000)
         log_grad_norm_every = config.select("experiment.log_grad_norm_every", 0)
-        train_step = jax.jit(
-            make_generator_train_step(
-                generator, tokenizer, tx, mlm_loss_cfg,
-                mask_schedule=mlm_cfg.get("train_mask_schedule_strategy", "arccos"),
-                class_label_dropout=mlm_cfg.get("class_label_dropout", 0.1),
-                ema_kwargs={"decay": 0.9999},
-                log_param_grad_norms=0 < log_grad_norm_every <= max_steps,
-            )
+        token_shards = config.select("dataset.params.token_shards_path_or_url", "")
+        step_kwargs = dict(
+            mask_schedule=mlm_cfg.get("train_mask_schedule_strategy", "arccos"),
+            class_label_dropout=mlm_cfg.get("class_label_dropout", 0.1),
+            ema_kwargs={"decay": 0.9999},
+            log_param_grad_norms=0 < log_grad_norm_every <= max_steps,
         )
+        if token_shards:
+            logger.info(f"training from pre-tokenized shards {token_shards}")
+            train_step = jax.jit(
+                make_generator_train_step_from_tokens(
+                    generator, vq_cfg.get("codebook_size", 1024), tx, mlm_loss_cfg,
+                    **step_kwargs,
+                )
+            )
+        else:
+            train_step = jax.jit(
+                make_generator_train_step(generator, tokenizer, tx, mlm_loss_cfg,
+                                          **step_kwargs)
+            )
 
         ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"), max_to_keep=3)
         global_step = 0
@@ -121,8 +133,17 @@ def main(argv=None):
                 state = jax.tree.map(jnp.asarray, state)
                 logger.info(f"resumed from step {global_step}")
 
-        make_train, make_eval, _ = build_dataloaders(config, logger, global_batch)
-        train_iter = make_train()
+        if token_shards:
+            from maskbit_tpu.data.token_shards import TokenShardDataset
+
+            token_dataset = TokenShardDataset(
+                token_shards, resample=True, seed=ctx["seed"],
+                process_index=jax.process_index(), process_count=jax.process_count(),
+            )
+            train_iter = token_dataset.batches(global_batch // jax.process_count())
+        else:
+            make_train, _, _ = build_dataloaders(config, logger, global_batch)
+            train_iter = make_train()
         if config.select("training.overfit_batch", False):
             n = config.select("training.overfit_batch_num", 1)
             train_iter = itertools.cycle([next(train_iter) for _ in range(n)])
@@ -145,10 +166,14 @@ def main(argv=None):
             batch = next(train_iter)
             timer.data_tick()
             profiler.step(global_step)
-            images = jax.device_put(jnp.asarray(batch["image"]), sharding)
             labels = jax.device_put(jnp.asarray(batch["class_id"]), sharding)
             rng_step, sub = jax.random.split(rng_step)
-            state, metrics = train_step(state, tokenizer_vars, images, labels, sub)
+            if token_shards:
+                tokens = jax.device_put(jnp.asarray(batch["tokens"]), sharding)
+                state, metrics = train_step(state, tokens, labels, sub)
+            else:
+                images = jax.device_put(jnp.asarray(batch["image"]), sharding)
+                state, metrics = train_step(state, tokenizer_vars, images, labels, sub)
             global_step += 1
             timer.batch_tick()
 

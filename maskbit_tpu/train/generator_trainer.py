@@ -52,38 +52,22 @@ def init_generator_train_state(
     )
 
 
-def make_generator_train_step(
-    model,
-    tokenizer,
-    tx: optax.GradientTransformation,
-    mlm_cfg: MLMLossConfig,
-    mask_schedule: str = "arccos",
-    class_label_dropout: float = 0.1,
-    ema_kwargs: Optional[Mapping[str, Any]] = None,
-    log_param_grad_norms: bool = False,
-) -> Callable:
-    """Build train_step(state, tokenizer_vars, images, labels, rng).
-
-    `tokenizer_vars` are the frozen Stage-I weights; images NHWC in [0, 1].
-    """
-    ema_kwargs = dict(ema_kwargs or {})
-    codebook_size = tokenizer.codebook_size
+def _mlm_step_core(
+    model, tx, mlm_cfg, codebook_size, mask_schedule, class_label_dropout,
+    ema_kwargs, log_param_grad_norms,
+):
+    """Shared MLM update given raw (b, n) integer tokens."""
     splits = model.codebook_splits
     mask_token = model.mask_token
 
-    def train_step(state: GeneratorTrainState, tokenizer_vars, images, labels, rng):
+    def update(state: GeneratorTrainState, tokens, labels, rng):
         rng_mask, rng_drop, rng_dropout = jax.random.split(rng, 3)
-
-        # frozen tokenizer encode (reference train_maskbit.py:362-365)
-        tokens_grid = tokenizer.apply(tokenizer_vars, images, method="tokenize")
-        tokens = lax.stop_gradient(tokens_grid.reshape(images.shape[0], -1))
-
         split_tokens = split_factorized_tokens(tokens, codebook_size, splits)
         masked_tokens, masks = get_mask_tokens(
             rng_mask, split_tokens, mask_token, mode=mask_schedule
         )
         drop_label_mask = (
-            jax.random.uniform(rng_drop, (images.shape[0],)) < class_label_dropout
+            jax.random.uniform(rng_drop, (tokens.shape[0],)) < class_label_dropout
         )
 
         def loss_fn(params):
@@ -114,6 +98,57 @@ def make_generator_train_step(
         if log_param_grad_norms:
             metrics.update(per_param_grad_norms(grads))
         return new_state, metrics
+
+    return update
+
+
+def make_generator_train_step(
+    model,
+    tokenizer,
+    tx: optax.GradientTransformation,
+    mlm_cfg: MLMLossConfig,
+    mask_schedule: str = "arccos",
+    class_label_dropout: float = 0.1,
+    ema_kwargs: Optional[Mapping[str, Any]] = None,
+    log_param_grad_norms: bool = False,
+) -> Callable:
+    """Build train_step(state, tokenizer_vars, images, labels, rng).
+
+    The frozen Stage-I tokenizer encode runs inline inside the jit
+    (reference train_maskbit.py:362-365); images NHWC in [0, 1].
+    """
+    update = _mlm_step_core(
+        model, tx, mlm_cfg, tokenizer.codebook_size, mask_schedule,
+        class_label_dropout, dict(ema_kwargs or {}), log_param_grad_norms,
+    )
+
+    def train_step(state: GeneratorTrainState, tokenizer_vars, images, labels, rng):
+        tokens_grid = tokenizer.apply(tokenizer_vars, images, method="tokenize")
+        tokens = lax.stop_gradient(tokens_grid.reshape(images.shape[0], -1))
+        return update(state, tokens, labels, rng)
+
+    return train_step
+
+
+def make_generator_train_step_from_tokens(
+    model,
+    codebook_size: int,
+    tx: optax.GradientTransformation,
+    mlm_cfg: MLMLossConfig,
+    mask_schedule: str = "arccos",
+    class_label_dropout: float = 0.1,
+    ema_kwargs: Optional[Mapping[str, Any]] = None,
+    log_param_grad_norms: bool = False,
+) -> Callable:
+    """Build train_step(state, tokens (b, n) int32, labels, rng) for
+    pre-tokenized datasets (data/token_shards.py) — no tokenizer in the step."""
+    update = _mlm_step_core(
+        model, tx, mlm_cfg, codebook_size, mask_schedule,
+        class_label_dropout, dict(ema_kwargs or {}), log_param_grad_norms,
+    )
+
+    def train_step(state: GeneratorTrainState, tokens, labels, rng):
+        return update(state, tokens.astype(jnp.int32), labels, rng)
 
     return train_step
 
