@@ -207,10 +207,13 @@ def main(argv=None):
                 _save(ckpt, state, output_dir, global_step, logger)
 
             if global_step % eval_every == 0:
-                logger.info(
-                    "in-training generation eval: run cli.eval_maskbit for the "
-                    "full 50k-sample ADM gFID"
+                results = _eval_generation(
+                    config, sampler, {"params": _eval_params(state)},
+                    tokenizer_vars, rng_step, logger,
                 )
+                if results:
+                    tracker.log({f"eval/{k}": v for k, v in results.items()}, global_step)
+                    logger.info(f"eval @ {global_step}: {results}")
 
         _save(ckpt, state, output_dir, global_step, logger)
         profiler.close()
@@ -219,6 +222,34 @@ def main(argv=None):
 
 def _eval_params(state):
     return state.ema.params if state.ema is not None else state.params
+
+
+def _eval_generation(config, sampler, gen_vars, tok_vars, rng, logger,
+                     num_samples: int = 2000, batch_size: int = 50):
+    """In-training generation eval (reference eval_generation :556-600):
+    IS (+ FID vs eval.stats_path) over a few thousand EMA samples.
+    Skipped unless MASKBIT_INCEPTION_WEIGHTS is available."""
+    from maskbit_tpu.cli.eval_tokenizer import make_inception_fn
+    from maskbit_tpu.eval.fid import load_stats_npz
+    from maskbit_tpu.eval.streaming import GeneratorEvaluator
+
+    inception_fn = make_inception_fn()
+    if inception_fn is None:
+        logger.info("in-training generation eval skipped (no inception weights); "
+                    "run cli.eval_maskbit for the full 50k ADM gFID")
+        return {}
+    stats_path = config.select("eval.stats_path", "")
+    real_mu = real_sigma = None
+    if stats_path and os.path.exists(stats_path):
+        real_mu, real_sigma = load_stats_npz(stats_path)
+    evaluator = GeneratorEvaluator(inception_fn, real_mu, real_sigma)
+    key = rng
+    for i in range(num_samples // batch_size):
+        key, sub_labels, sub = jax.random.split(key, 3)
+        labels = jax.random.randint(sub_labels, (batch_size,), 0, 1000)
+        images, _ = sampler(gen_vars, tok_vars, sub, labels)
+        evaluator.update(jnp.clip(images, 0.0, 1.0))
+    return evaluator.result()
 
 
 def _save(ckpt, state, output_dir, step, logger):

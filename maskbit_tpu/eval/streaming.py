@@ -200,6 +200,25 @@ class TokenizerEvaluator:
             entries, counts = np.unique(np.asarray(codebook_indices), return_counts=True)
             self._codebook_frequencies[entries.astype(np.int64)] += counts.astype(np.float64)
 
+    def merge_from(self, other: "TokenizerEvaluator") -> None:
+        """Sum another evaluator's accumulators into this one (multi-host
+        eval: each host evaluates its shard split, then host 0 merges)."""
+        self._num_examples += other._num_examples
+        self._num_updates += other._num_updates
+        self._mae_sum += other._mae_sum
+        self._mse_sum += other._mse_sum
+        self._psnr_sum += other._psnr_sum
+        self._ssim_sum += other._ssim_sum
+        self._lpips_sum += other._lpips_sum
+        self._is_prob_total += other._is_prob_total
+        self._is_total_kl_d += other._is_total_kl_d
+        self._rfid_real_total += other._rfid_real_total
+        self._rfid_fake_total += other._rfid_fake_total
+        self._rfid_real_sigma += other._rfid_real_sigma
+        self._rfid_fake_sigma += other._rfid_fake_sigma
+        self._codebook_set |= other._codebook_set
+        self._codebook_frequencies += other._codebook_frequencies
+
     def result(self) -> Mapping[str, float]:
         if self._num_examples < 1:
             raise ValueError("No examples to evaluate.")

@@ -44,6 +44,7 @@ class _GeneratorBase(nn.Module):
     nclass: int = 1000
     input_stride: int = 16
     use_prenorm: bool = False
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -84,6 +85,7 @@ class _GeneratorBase(nn.Module):
             nclass=mlm_cfg.get("nclass", 1000),
             input_stride=mlm_cfg.get("input_stride", 16),
             use_prenorm=mlm_cfg.get("use_prenorm", False),
+            remat=mlm_cfg.get("remat", False),
             dtype=dtype,
         )
 
@@ -107,6 +109,7 @@ class _GeneratorBase(nn.Module):
             mlp_dim=self.mlp_dim,
             dropout=self.dropout,
             use_prenorm=self.use_prenorm,
+            remat=self.remat,
             dtype=self.dtype,
             name="transformer",
         )(x, deterministic=deterministic)

@@ -106,13 +106,18 @@ class TransformerEncoder(nn.Module):
     mlp_dim: int
     dropout: float = 0.0
     use_prenorm: bool = False
+    remat: bool = False  # rematerialize per-layer activations (trade FLOPs for HBM)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        attn_cls, ffn_cls = BertAttention, BertFeedForward
+        if self.remat:
+            attn_cls = nn.remat(BertAttention, static_argnums=(2,))
+            ffn_cls = nn.remat(BertFeedForward, static_argnums=(2,))
         for i in range(self.depth):
-            x = BertAttention(self.dim, self.heads, self.dropout, self.use_prenorm,
-                              dtype=self.dtype, name=f"layers_{i}_attn")(x, deterministic)
-            x = BertFeedForward(self.dim, self.mlp_dim, self.dropout, self.use_prenorm,
-                                dtype=self.dtype, name=f"layers_{i}_ffn")(x, deterministic)
+            x = attn_cls(self.dim, self.heads, self.dropout, self.use_prenorm,
+                         dtype=self.dtype, name=f"layers_{i}_attn")(x, deterministic)
+            x = ffn_cls(self.dim, self.mlp_dim, self.dropout, self.use_prenorm,
+                        dtype=self.dtype, name=f"layers_{i}_ffn")(x, deterministic)
         return x

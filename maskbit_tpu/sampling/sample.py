@@ -88,7 +88,7 @@ def sample_tokens(
     key: jax.Array,
     labels: jnp.ndarray,
     cfg: SamplingConfig,
-    return_history: bool = False,
+    return_history=False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Run the iterative unmasking loop; returns final (b, n, m) tokens.
 
@@ -98,7 +98,9 @@ def sample_tokens(
         key: PRNG key.
         labels: (b,) int class labels.
         cfg: sampling configuration.
-        return_history: also return the (steps, b, n, m) predicted tokens.
+        return_history: True -> also return the (steps, b, n, m) predicted
+            tokens (reference `l_full_tokens`); "full" -> return
+            (predicted, post-re-mask) pairs per step.
     """
     num_samples = labels.shape[0]
     spatial_size = cfg.patch_size**2
@@ -172,7 +174,12 @@ def sample_tokens(
         should_mask = confidence <= threshold[:, None, None]
         new_masked = jnp.where(should_mask, cfg.mask_token, predicted_tokens)
 
-        out = predicted_tokens if return_history else None
+        if return_history == "full":
+            out = (predicted_tokens, new_masked)
+        elif return_history:
+            out = predicted_tokens
+        else:
+            out = None
         return (new_masked, predicted_tokens, key), out
 
     (_, final_predicted, _), history = jax.lax.scan(

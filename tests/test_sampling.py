@@ -138,3 +138,46 @@ def test_end_to_end_sampler_with_models():
     assert images.shape == (2, 8, 8, 3)
     assert np.all(np.isfinite(np.asarray(images)))
     assert history is None
+
+
+def test_mask_count_schedule_matches_reference_recurrence():
+    """The per-step re-mask counts must follow the reference recurrence
+    (sampling.py:109,120-130), including the element-[0] num_masked quirk
+    and the clamp to [1, num_masked-1]."""
+    import math
+
+    cfg = CFG._replace(num_steps=8, guidance_scale=0.0, randomize_temperature=0.0)
+    num_maskable = 16 * 2
+
+    # distinct logits -> distinct confidences (with uniform logits every
+    # confidence ties and `conf <= threshold` masks everything — the
+    # reference behaves identically on ties)
+    fixed = jax.random.normal(jax.random.key(42), (3, 16, 2, CFG.mask_token))
+
+    def distinct_logits(tokens, labels, drop):
+        return fixed[: tokens.shape[0]]
+
+    labels = jnp.zeros((3,), jnp.int32)
+    _, history = sample_tokens(
+        distinct_logits, jax.random.key(0), labels, cfg, return_history="full"
+    )
+    predicted_h, masked_h = history
+
+    # numpy re-derivation of the reference count recurrence
+    num_masked = num_maskable
+    expected_counts = []
+    for i in range(cfg.num_steps):
+        progress = (i + 1) / cfg.num_steps
+        ratio = max(min(np.arccos(progress) / (math.pi * 0.5), 1.0), 1e-6)
+        mask_len = int(np.floor(ratio * num_maskable))
+        count = int(np.clip(mask_len, 1, num_masked - 1))
+        expected_counts.append(count)
+        num_masked = count
+
+    got_counts = np.asarray(jnp.sum(masked_h == cfg.mask_token, axis=(2, 3)))
+    for i, expected in enumerate(expected_counts):
+        np.testing.assert_array_equal(
+            got_counts[i], expected, err_msg=f"step {i}"
+        )
+    # predicted tokens never contain mask ids
+    assert int(jnp.max(predicted_h)) < cfg.mask_token
