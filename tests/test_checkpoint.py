@@ -64,3 +64,21 @@ def test_load_pretrained_torch_bin(tmp_path):
     params = load_pretrained(path)["params"]
     assert params["encoder"]["conv_in"]["kernel"].shape == (3, 3, 3, 8)
     assert params["decoder"]["conv_out"]["kernel"].shape == (3, 3, 8, 3)
+
+
+def test_convert_checkpoint_cli(tmp_path):
+    torch = pytest.importorskip("torch")
+    from maskbit_tpu.cli.convert_checkpoint import main
+    from maskbit_tpu.core.checkpoint import load_pretrained
+
+    state = {
+        "encoder.conv_in.weight": torch.randn(8, 3, 3, 3),
+        "decoder.conv_out.weight": torch.randn(3, 8, 3, 3),
+        "decoder.conv_out.bias": torch.randn(3),
+    }
+    src = str(tmp_path / "model.bin")
+    dst = str(tmp_path / "model.msgpack")
+    torch.save(state, src)
+    main(["--input", src, "--output", dst])
+    loaded = load_pretrained(dst)
+    assert loaded["params"]["encoder"]["conv_in"]["kernel"].shape == (3, 3, 3, 8)
