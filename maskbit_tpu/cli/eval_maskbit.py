@@ -65,10 +65,20 @@ def main(argv=None):
     sampling_cfg = SamplingConfig.from_config(mlm_cfg, vq_cfg)._replace(
         patch_size=res // 2 ** (vq_cfg.get("num_resolutions", 5) - 1)
     )
-    sampler = make_sampler(generator, tokenizer, sampling_cfg, jit=True)
+    mesh = ctx["mesh"]
+    batch_size = int(config.select("eval.batch_size", 100))
+    data_shards = mesh.shape["data"] * mesh.shape["fsdp"]
+    if data_shards > 1 and batch_size % data_shards == 0:
+        # shard each generation batch over the mesh's data axis
+        from maskbit_tpu.sampling.serve import make_sharded_sampler
+
+        logger.info(f"sharding generation batches over {data_shards} devices")
+        sharded = make_sharded_sampler(generator, tokenizer, sampling_cfg, mesh)
+        sampler = lambda gv, tv, key, y: (sharded(gv, tv, key, y), None)
+    else:
+        sampler = make_sampler(generator, tokenizer, sampling_cfg, jit=True)
 
     total_samples = int(config.select("eval.total_samples", 50_000))
-    batch_size = int(config.select("eval.batch_size", 100))
     seed = int(config.select("training.seed", 42))
 
     # class-balanced shuffled labels (reference :107-108)

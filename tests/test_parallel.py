@@ -84,3 +84,40 @@ def test_sharded_forward_matches_replicated():
             sharded_params, tokens_s, labels
         )
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5, rtol=1e-4)
+
+
+@needs_8
+def test_sharded_sampler_matches_single_device():
+    """Data-sharded pod sampling must produce the same tokens/images as the
+    single-program sampler (same key, replicated weights)."""
+    from maskbit_tpu.models.tokenizer import ConvVQModel
+    from maskbit_tpu.sampling.sample import SamplingConfig, make_sampler
+    from maskbit_tpu.sampling.serve import make_sharded_sampler
+
+    tokenizer = ConvVQModel(
+        num_channels=3, hidden_channels=32, channel_mult=(1, 2), num_resolutions=2,
+        num_res_blocks=1, token_size=8, codebook_size=256,
+        quantizer_type="lookup-free", entropy_loss_weight=0.0,
+    )
+    generator = LFQBert(
+        img_size=8, hidden_dim=32, codebook_size=256, codebook_splits=2,
+        depth=1, heads=2, mlp_dim=64, dropout=0.0, nclass=10, input_stride=2,
+    )
+    cfg = SamplingConfig(
+        num_steps=3, guidance_scale=1.5, mask_token=16, patch_size=4,
+        codebook_size=256, codebook_splits=2, mask_schedule_strategy="arccos",
+    )
+    key = jax.random.key(0)
+    tok_vars = tokenizer.init(key, jnp.zeros((1, 16), jnp.int32), method="decode_tokens")
+    gen_vars = generator.init(key, jnp.zeros((1, 16, 2), jnp.int32), jnp.zeros((1,), jnp.int32))
+    labels = jnp.arange(8, dtype=jnp.int32) % 10
+
+    plain = make_sampler(generator, tokenizer, cfg, jit=True)
+    expected, _ = plain(gen_vars, tok_vars, key, labels)
+
+    mesh = create_mesh(MeshConfig(data=8))
+    with mesh:
+        sharded = make_sharded_sampler(generator, tokenizer, cfg, mesh)
+        got = sharded(gen_vars, tok_vars, key, labels)
+    assert len(got.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-4, rtol=1e-4)
