@@ -116,3 +116,52 @@ def test_train_maskbit_cli(tmp_path, monkeypatch):
     # generated-sample viz was produced at step 3
     images = os.listdir(out_dir / "images")
     assert any("generated" in f for f in images)
+
+
+def test_train_tokenizer_resume(tmp_path, monkeypatch):
+    """Resume-latest contract: a second run continues from the saved step."""
+    import yaml as _yaml
+
+    from maskbit_tpu.cli.train_tokenizer import main
+
+    cfg = {
+        "experiment": {"name": "smoke_resume", "max_train_examples": 64,
+                       "save_every": 2, "eval_every": 1000, "generate_every": 1000,
+                       "log_every": 1, "logger": "jsonl", "resume": True},
+        "model": {
+            "vq_model": TINY_VQ,
+            "discriminator": {"name": "VQGAN+Discriminator", "num_channels": 3,
+                              "num_stages": 1, "hidden_channels": 32,
+                              "blur_resample": False},
+        },
+        "losses": {
+            "quantizer_weight": 1.0, "perceptual_loss": "none",
+            "perceptual_weight": 0.0, "reconstruction_loss": "l2",
+            "reconstruction_weight": 1.0, "discriminator_start": 1000,
+            "discriminator_loss": "hinge", "discriminator_factor": 1.0,
+            "discriminator_weight": 0.1, "discriminator_gradient_penalty": "none",
+            "discriminator_penalty_cost": 10.0, "lecam_regularization_weight": 0.0,
+        },
+        "dataset": DATASET,
+        "optimizer": {"name": "adamw", "params": {"learning_rate": 1e-3}},
+        "lr_scheduler": {"scheduler": "constant", "params": {}},
+        "training": {"gradient_accumulation_steps": 1, "per_device_batch_size": 2,
+                     "mixed_precision": "no", "use_ema": True, "seed": 0,
+                     "max_train_steps": 2, "overfit_batch": True, "overfit_batch_num": 1,
+                     "num_generated_images": 1, "max_grad_norm": 1.0},
+    }
+    config_path = _write_config(tmp_path, cfg, name="resume.yaml")
+    monkeypatch.setenv("WORKSPACE", str(tmp_path / "ws"))
+    main([f"config={config_path}"])  # runs steps 1..2, saves at 2
+
+    out_dir = tmp_path / "ws" / "smoke_resume"
+    assert (out_dir / "model-2.msgpack").exists()
+
+    # second invocation: must resume from step 2 and run to 4
+    main([f"config={config_path}", "training.max_train_steps=4"])
+    assert (out_dir / "model-4.msgpack").exists()
+    metrics = [json.loads(l) for l in open(out_dir / "metrics.jsonl")]
+    steps = [m["step"] for m in metrics if "total_loss" in m]
+    # after resume, logged steps continue past the first run's end
+    assert max(steps) == 4
+    assert 1 in steps and 3 in steps
