@@ -145,22 +145,27 @@ def make_tokenizer_train_step(
                 kernel = gen_params["decoder"]["conv_out"]["kernel"]
                 z_q = lax.stop_gradient(extra["z_quantized"])
 
-                def decode_with_kernel(k):
-                    p2 = jax.tree_util.tree_map(lambda x: x, gen_params)  # shallow copy
-                    p2 = _replace_leaf(p2, ("decoder", "conv_out", "kernel"), k)
-                    return model.apply({"params": p2}, z_q, method="decode")
+                def adaptive_weight(_):
+                    # 1 decoder fwd + 2 decoder bwds, only once the
+                    # discriminator is live (reference losses.py:187-198)
+                    def decode_with_kernel(k):
+                        p2 = _replace_leaf(gen_params, ("decoder", "conv_out", "kernel"), k)
+                        return model.apply({"params": p2}, z_q, method="decode")
 
-                recons2, vjp_fn = jax.vjp(decode_with_kernel, kernel)
-                nll_cot = jax.grad(lambda r: nll_loss_only(loss_cfg, images, r, perc))(recons2)
-                (nll_grads,) = vjp_fn(nll_cot)
-                g_cot = jax.grad(
-                    lambda r: gan.G_LOSSES[loss_cfg.discriminator_loss](
-                        discriminator.apply({"params": state.disc_params}, r)
-                    )
-                )(recons2)
-                (g_grads,) = vjp_fn(g_cot)
-                adaptive = calculate_adaptive_weight(nll_grads, g_grads)
-                d_weight = jnp.where(disc_trainable, adaptive, 1.0)
+                    recons2, vjp_fn = jax.vjp(decode_with_kernel, kernel)
+                    nll_cot = jax.grad(lambda r: nll_loss_only(loss_cfg, images, r, perc))(recons2)
+                    (nll_grads,) = vjp_fn(nll_cot)
+                    g_cot = jax.grad(
+                        lambda r: gan.G_LOSSES[loss_cfg.discriminator_loss](
+                            discriminator.apply({"params": state.disc_params}, r)
+                        )
+                    )(recons2)
+                    (g_grads,) = vjp_fn(g_cot)
+                    return calculate_adaptive_weight(nll_grads, g_grads)
+
+                d_weight = lax.cond(
+                    disc_trainable, adaptive_weight, lambda _: jnp.ones(()), None
+                )
 
             total, loss_dict = generator_loss(
                 loss_cfg,
