@@ -83,6 +83,49 @@ def _guidance_scale_at(cfg: SamplingConfig, step: jnp.ndarray) -> jnp.ndarray:
     return cfg.guidance_scale * scale_step
 
 
+def confidence_remask(
+    cfg: SamplingConfig,
+    step: jnp.ndarray,
+    mask: jnp.ndarray,
+    masked_tokens: jnp.ndarray,
+    sampled_tokens: jnp.ndarray,
+    probabilities: jnp.ndarray,
+    gumbel_noise: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pure re-mask math of one sampling step (reference sampling.py:109-130),
+    with the categorical draw and Gumbel noise injected — enabling bit-exact
+    parity tests against the reference with shared randomness.
+
+    Returns (predicted_tokens, new_masked_tokens)."""
+    num_samples = mask.shape[0]
+    num_maskable = mask.shape[1] * mask.shape[2]
+    progress = (step.astype(jnp.float32) + 1.0) / cfg.num_steps
+
+    # reference quirk: the re-mask count derives from batch element 0
+    num_masked = jnp.sum(mask[0])
+
+    predicted_tokens = jnp.where(mask, sampled_tokens, masked_tokens)
+
+    confidence = jnp.take_along_axis(
+        probabilities, predicted_tokens[..., None], axis=-1
+    )[..., 0]
+    confidence = jnp.where(mask, confidence, jnp.inf)
+    confidence = jnp.log(confidence) + gumbel_noise * cfg.randomize_temperature * (
+        1.0 - progress
+    )
+
+    mask_ratio = get_masking_ratio(progress, mode=cfg.mask_schedule_strategy)
+    mask_len = jnp.floor(mask_ratio * num_maskable)
+    num_tokens_to_mask = jnp.clip(mask_len.astype(jnp.int32), 1, num_masked - 1)
+
+    sorted_confidence = jnp.sort(confidence.reshape(num_samples, -1), axis=-1)
+    threshold = jnp.take(sorted_confidence, num_tokens_to_mask - 1, axis=1)
+
+    should_mask = confidence <= threshold[:, None, None]
+    new_masked = jnp.where(should_mask, cfg.mask_token, predicted_tokens)
+    return predicted_tokens, new_masked
+
+
 def sample_tokens(
     logits_fn: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray],
     key: jax.Array,
@@ -139,40 +182,13 @@ def sample_tokens(
             softmax_temperature = cfg.softmax_temperature
 
         scaled_logits = logits.astype(jnp.float32) / softmax_temperature
-        predicted_tokens = jax.random.categorical(key_cat, scaled_logits, axis=-1)
-        predicted_tokens = predicted_tokens.astype(jnp.int32)
-
-        # reference quirk: the re-mask count derives from batch element 0
-        num_masked = jnp.sum(mask[0])
-
-        predicted_tokens = jnp.where(mask, predicted_tokens, masked_tokens)
-
+        sampled = jax.random.categorical(key_cat, scaled_logits, axis=-1).astype(jnp.int32)
         probabilities = jax.nn.softmax(scaled_logits, axis=-1)
-        confidence = jnp.take_along_axis(
-            probabilities, predicted_tokens[..., None], axis=-1
-        )[..., 0]
-        confidence = jnp.where(mask, confidence, jnp.inf)
+        gumbel_noise = jax.random.gumbel(key_gumbel, sampled.shape)
 
-        noise = (
-            jax.random.gumbel(key_gumbel, predicted_tokens.shape)
-            * cfg.randomize_temperature
-            * (1.0 - progress)
+        predicted_tokens, new_masked = confidence_remask(
+            cfg, step, mask, masked_tokens, sampled, probabilities, gumbel_noise
         )
-        confidence = jnp.log(confidence) + noise
-
-        mask_ratio = get_masking_ratio(progress, mode=cfg.mask_schedule_strategy)
-        mask_len = jnp.floor(mask_ratio * num_maskable)
-        num_tokens_to_mask = jnp.clip(
-            mask_len.astype(jnp.int32), 1, num_masked - 1
-        )
-
-        sorted_confidence = jnp.sort(
-            confidence.reshape(num_samples, -1), axis=-1
-        )
-        threshold = jnp.take(sorted_confidence, num_tokens_to_mask - 1, axis=1)
-
-        should_mask = confidence <= threshold[:, None, None]
-        new_masked = jnp.where(should_mask, cfg.mask_token, predicted_tokens)
 
         if return_history == "full":
             out = (predicted_tokens, new_masked)
