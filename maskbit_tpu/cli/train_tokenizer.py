@@ -117,6 +117,20 @@ def main(argv=None):
             )
         )
 
+        # warm-start from a bare weights file (reference experiment.init_checkpoint)
+        init_ckpt = config.select("experiment.init_checkpoint", "")
+        if init_ckpt and os.path.exists(init_ckpt):
+            from maskbit_tpu.core.checkpoint import load_pretrained
+            from maskbit_tpu.core.ema import init_ema
+
+            loaded = load_pretrained(init_ckpt)
+            gen_params = loaded.get("params", loaded)
+            state = state._replace(
+                gen_params=gen_params,
+                ema=init_ema(gen_params) if state.ema is not None else None,
+            )
+            logger.info(f"initialized weights from {init_ckpt}")
+
         ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"), max_to_keep=3)
         global_step = 0
         if config.select("experiment.resume", True):
@@ -124,6 +138,14 @@ def main(argv=None):
             if restored is not None:
                 state, global_step = restored
                 state = jax.tree.map(jnp.asarray, state)
+                if config.select("experiment.dont_resume_optimizer", False):
+                    # reference opt-out (train_tokenizer.py:308-329): fresh
+                    # optimizer (and thus LR schedule position)
+                    state = state._replace(
+                        gen_opt=gen_tx.init(state.gen_params),
+                        disc_opt=disc_tx.init(state.disc_params),
+                    )
+                    logger.info("optimizer state reset on resume")
                 logger.info(f"resumed from step {global_step}")
 
         make_train, make_eval, _ = build_dataloaders(config, logger, global_batch)

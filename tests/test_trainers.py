@@ -135,3 +135,34 @@ def test_tokenizer_train_step_multidevice():
     assert np.isfinite(float(metrics["total_loss"]))
     state, metrics = step_fn(state, sharded, None, jax.random.key(1))
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_gradient_accumulation_updates_every_k_steps():
+    """With gradient_accumulation_steps=2, parameters change only on every
+    second call (optax.MultiSteps semantics, reference accelerate.accumulate)."""
+    from maskbit_tpu.losses.mlm import MLMLossConfig
+
+    model = LFQBert(
+        img_size=16, hidden_dim=32, codebook_size=16, codebook_splits=2,
+        depth=1, heads=2, mlp_dim=64, dropout=0.0, nclass=10, input_stride=2,
+    )
+    tx = make_optimizer(1e-3, gradient_accumulation_steps=2)
+    from maskbit_tpu.train.generator_trainer import (
+        make_generator_train_step_from_tokens,
+    )
+
+    state = init_generator_train_state(model, tx, jax.random.key(0), use_ema=False)
+    step_fn = jax.jit(
+        make_generator_train_step_from_tokens(model, 16, tx, MLMLossConfig())
+    )
+    tokens = jnp.asarray(np.random.default_rng(0).integers(0, 16, (2, 64)), jnp.int32)
+    labels = jnp.asarray([0, 1])
+
+    p0 = jax.tree.map(np.asarray, state.params)
+    state, _ = step_fn(state, tokens, labels, jax.random.key(1))
+    unchanged = jax.tree.map(lambda a, b: np.array_equal(a, np.asarray(b)), p0, state.params)
+    assert all(jax.tree.leaves(unchanged)), "params must not change on the 1st microstep"
+
+    state, _ = step_fn(state, tokens, labels, jax.random.key(2))
+    changed = jax.tree.map(lambda a, b: not np.array_equal(a, np.asarray(b)), p0, state.params)
+    assert any(jax.tree.leaves(changed)), "params must update after k microsteps"
