@@ -74,6 +74,18 @@ def build_optimizers(config, num_devices: int):
     )
     gen_tx = make_optimizer(get_schedule(sched_name, lr, **sched_kwargs), **common)
     disc_tx = make_optimizer(get_schedule(sched_name, disc_lr, **sched_kwargs), **common)
+
+    if config.select("model.vq_model.finetune_decoder", False):
+        # decoder-finetune mode: the encoder/quantizer are frozen
+        # (stop_gradient in the model), but AdamW weight decay would still
+        # shrink them — mask the optimizer to the decoder subtree.
+        import optax
+
+        def decoder_only_mask(params):
+            return {k: jax.tree.map(lambda _: k == "decoder", v)
+                    for k, v in params.items()}
+
+        gen_tx = optax.masked(gen_tx, decoder_only_mask)
     return gen_tx, disc_tx
 
 

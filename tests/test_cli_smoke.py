@@ -165,3 +165,75 @@ def test_train_tokenizer_resume(tmp_path, monkeypatch):
     # after resume, logged steps continue past the first run's end
     assert max(steps) == 4
     assert 1 in steps and 3 in steps
+
+
+def test_train_tokenizer_finetune_decoder(tmp_path, monkeypatch):
+    """Decoder-finetune mode: encoder params stay EXACTLY fixed (no grads,
+    no weight decay), decoder params move."""
+    import numpy as np
+
+    import jax
+
+    from maskbit_tpu.cli.train_tokenizer import build_optimizers, main
+    from maskbit_tpu.core.checkpoint import load_pretrained
+
+    vq = dict(TINY_VQ, finetune_decoder=True)
+    cfg = {
+        "experiment": {"name": "smoke_ft", "max_train_examples": 64,
+                       "save_every": 2, "eval_every": 1000, "generate_every": 1000,
+                       "log_every": 1, "logger": "jsonl", "resume": False},
+        "model": {
+            "vq_model": vq,
+            "discriminator": {"name": "VQGAN+Discriminator", "num_channels": 3,
+                              "num_stages": 1, "hidden_channels": 32,
+                              "blur_resample": False},
+        },
+        "losses": {
+            "quantizer_weight": 1.0, "perceptual_loss": "none",
+            "perceptual_weight": 0.0, "reconstruction_loss": "l2",
+            "reconstruction_weight": 1.0, "discriminator_start": 1000,
+            "discriminator_loss": "hinge", "discriminator_factor": 1.0,
+            "discriminator_weight": 0.1, "discriminator_gradient_penalty": "none",
+            "discriminator_penalty_cost": 10.0, "lecam_regularization_weight": 0.0,
+        },
+        "dataset": DATASET,
+        "optimizer": {"name": "adamw", "params": {"learning_rate": 1e-2,
+                                                  "weight_decay": 0.1}},
+        "lr_scheduler": {"scheduler": "constant", "params": {}},
+        "training": {"gradient_accumulation_steps": 1, "per_device_batch_size": 2,
+                     "mixed_precision": "no", "use_ema": False, "seed": 0,
+                     "max_train_steps": 2, "overfit_batch": True, "overfit_batch_num": 1,
+                     "num_generated_images": 1, "max_grad_norm": 1.0},
+    }
+    config_path = _write_config(tmp_path, cfg, name="ft.yaml")
+    monkeypatch.setenv("WORKSPACE", str(tmp_path / "ws"))
+    main([f"config={config_path}"])
+
+    out_dir = tmp_path / "ws" / "smoke_ft"
+    final = load_pretrained(str(out_dir / "model-2.msgpack"))
+
+    # reinit with the same seed to recover the initial params
+    from maskbit_tpu.core.config import load_config
+    from maskbit_tpu.models.tokenizer import ConvVQModel
+    from maskbit_tpu.nn.discriminator import create_discriminator
+    from maskbit_tpu.train.tokenizer_trainer import init_tokenizer_train_state
+    import jax.numpy as jnp
+
+    config = load_config(config_path)
+    model = ConvVQModel.from_config(config.model.vq_model)
+    disc = create_discriminator(config.model.discriminator)
+    gen_tx, disc_tx = build_optimizers(config, 1)
+    state0 = init_tokenizer_train_state(
+        model, disc, gen_tx, disc_tx, jax.random.key(0), (2, 32, 32, 3), use_ema=False
+    )
+
+    enc_same = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        state0.gen_params["encoder"], final["encoder"],
+    )
+    assert all(jax.tree.leaves(enc_same)), "frozen encoder must not move"
+    dec_changed = jax.tree.map(
+        lambda a, b: not np.array_equal(np.asarray(a), np.asarray(b)),
+        state0.gen_params["decoder"], final["decoder"],
+    )
+    assert any(jax.tree.leaves(dec_changed)), "decoder must train"
