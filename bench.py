@@ -45,6 +45,7 @@ def build():
         img_size=256, hidden_dim=1024, codebook_size=2**bits, codebook_splits=2,
         depth=24, heads=16, mlp_dim=4096, dropout=0.0, nclass=1000,
         input_stride=16, dtype=compute_dtype,
+        attention_impl="fused",  # Pallas fused postnorm attention block
     )
     cfg = SamplingConfig(
         softmax_temperature=1.0, randomize_temperature=10.5,

@@ -45,6 +45,7 @@ class _GeneratorBase(nn.Module):
     input_stride: int = 16
     use_prenorm: bool = False
     remat: bool = False
+    attention_impl: str = "einsum"  # "einsum" | "fused" (Pallas inference block)
     dtype: Dtype = jnp.float32
 
     @property
@@ -86,6 +87,7 @@ class _GeneratorBase(nn.Module):
             input_stride=mlm_cfg.get("input_stride", 16),
             use_prenorm=mlm_cfg.get("use_prenorm", False),
             remat=mlm_cfg.get("remat", False),
+            attention_impl=mlm_cfg.get("attention_impl", "einsum"),
             dtype=dtype,
         )
 
@@ -110,6 +112,7 @@ class _GeneratorBase(nn.Module):
             dropout=self.dropout,
             use_prenorm=self.use_prenorm,
             remat=self.remat,
+            attention_impl=self.attention_impl,
             dtype=self.dtype,
             name="transformer",
         )(x, deterministic=deterministic)

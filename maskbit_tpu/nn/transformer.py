@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Dtype = Any
@@ -29,20 +30,64 @@ def layer_norm(name: str) -> nn.LayerNorm:
     return nn.LayerNorm(epsilon=LAYERNORM_EPS, dtype=jnp.float32, name=name)
 
 
+class DenseParams(nn.Module):
+    """Raw Dense parameters (same tree layout as nn.Dense: kernel + bias) —
+    lets callers route the matmul through either XLA or a Pallas kernel."""
+
+    features_in: int
+    features_out: int
+    kernel_init: Any = nn.initializers.xavier_uniform()
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", self.kernel_init, (self.features_in, self.features_out)
+        )
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features_out,))
+
+
+class NormParams(nn.Module):
+    """Raw LayerNorm parameters (same tree layout as nn.LayerNorm)."""
+
+    features: int
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones, (self.features,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+
+def _manual_layer_norm(x, scale, bias, eps=LAYERNORM_EPS):
+    x = x.astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
 class MultiHeadSelfAttention(nn.Module):
+    """torch-MHA-equivalent self attention; params held raw so the fused
+    Pallas block (BertAttention attention_impl='fused') can consume them.
+    torch init parity: in_proj xavier_uniform (MHA default — the reference's
+    _init_weights does not reach it), out_proj trunc_normal(0.02)."""
+
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        # fused QKV projection: kernel (E, 3E) = torch in_proj_weight.T
+        self.qkv = DenseParams(self.embed_dim, 3 * self.embed_dim)
+        self.out_proj = DenseParams(
+            self.embed_dim, self.embed_dim,
+            kernel_init=nn.initializers.truncated_normal(stddev=0.02),
+        )
+        self.attn_drop = nn.Dropout(self.dropout)
+
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         b, n, e = x.shape
         assert e == self.embed_dim
         head_dim = self.embed_dim // self.num_heads
 
-        # fused QKV projection: kernel (E, 3E) = torch in_proj_weight.T
-        qkv = nn.Dense(3 * self.embed_dim, dtype=self.dtype, name="qkv")(x)
+        qkv = x @ self.qkv.kernel.astype(self.dtype) + self.qkv.bias.astype(self.dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, n, self.num_heads, head_dim)
         k = k.reshape(b, n, self.num_heads, head_dim)
@@ -51,9 +96,9 @@ class MultiHeadSelfAttention(nn.Module):
         scale = head_dim**-0.5
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
         weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        weights = nn.Dropout(self.dropout)(weights, deterministic=deterministic)
+        weights = self.attn_drop(weights, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(b, n, e)
-        return nn.Dense(self.embed_dim, dtype=self.dtype, name="out_proj")(out)
+        return out @ self.out_proj.kernel.astype(self.dtype) + self.out_proj.bias.astype(self.dtype)
 
 
 class BertAttention(nn.Module):
@@ -61,20 +106,42 @@ class BertAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     use_prenorm: bool = False
+    attention_impl: str = "einsum"  # "einsum" | "fused" (Pallas, postnorm inference)
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.mha = MultiHeadSelfAttention(self.embed_dim, self.num_heads, self.dropout,
+                                          dtype=self.dtype)
+        self.norm = NormParams(self.embed_dim)
+        self.drop = nn.Dropout(self.dropout)
+
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        mha = MultiHeadSelfAttention(self.embed_dim, self.num_heads, self.dropout,
-                                     dtype=self.dtype, name="mha")
-        norm = layer_norm("norm")
-        drop = nn.Dropout(self.dropout)
+        if (
+            self.attention_impl == "fused"
+            and not self.use_prenorm
+            and deterministic
+        ):
+            from maskbit_tpu.nn.pallas_attention import fused_attention_block
+
+            return fused_attention_block(
+                x,
+                self.mha.qkv.kernel.astype(self.dtype),
+                self.mha.qkv.bias.astype(jnp.float32),
+                self.mha.out_proj.kernel.astype(self.dtype),
+                self.mha.out_proj.bias.astype(jnp.float32),
+                self.norm.scale.astype(jnp.float32),
+                self.norm.bias.astype(jnp.float32),
+                num_heads=self.num_heads,
+                eps=LAYERNORM_EPS,
+                interpret=jax.default_backend() != "tpu",
+            ).astype(self.dtype)
+
         if self.use_prenorm:
-            y = norm(x).astype(self.dtype)
-            attn = drop(mha(y, deterministic), deterministic=deterministic)
+            y = _manual_layer_norm(x, self.norm.scale, self.norm.bias).astype(self.dtype)
+            attn = self.drop(self.mha(y, deterministic), deterministic=deterministic)
             return attn + x
-        attn = drop(mha(x, deterministic), deterministic=deterministic)
-        return norm(attn + x).astype(self.dtype)
+        attn = self.drop(self.mha(x, deterministic), deterministic=deterministic)
+        return _manual_layer_norm(attn + x, self.norm.scale, self.norm.bias).astype(self.dtype)
 
 
 class BertFeedForward(nn.Module):
@@ -87,11 +154,13 @@ class BertFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         norm = layer_norm("norm")
+        # reference _init_weights: all plain Linears get trunc_normal(0.02)
+        init = nn.initializers.truncated_normal(stddev=0.02)
 
         def net(h):
-            h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(h)
+            h = nn.Dense(self.hidden_dim, kernel_init=init, dtype=self.dtype, name="fc1")(h)
             h = nn.gelu(h, approximate=False)
-            h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
+            h = nn.Dense(self.dim, kernel_init=init, dtype=self.dtype, name="fc2")(h)
             return nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
         if self.use_prenorm:
@@ -107,6 +176,7 @@ class TransformerEncoder(nn.Module):
     dropout: float = 0.0
     use_prenorm: bool = False
     remat: bool = False  # rematerialize per-layer activations (trade FLOPs for HBM)
+    attention_impl: str = "einsum"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -117,6 +187,7 @@ class TransformerEncoder(nn.Module):
             ffn_cls = nn.remat(BertFeedForward, static_argnums=(2,))
         for i in range(self.depth):
             x = attn_cls(self.dim, self.heads, self.dropout, self.use_prenorm,
+                         attention_impl=self.attention_impl,
                          dtype=self.dtype, name=f"layers_{i}_attn")(x, deterministic)
             x = ffn_cls(self.dim, self.mlp_dim, self.dropout, self.use_prenorm,
                         dtype=self.dtype, name=f"layers_{i}_ffn")(x, deterministic)

@@ -37,3 +37,19 @@ def test_fused_attention_padding_masked(rng):
     out = fused_attention(q, k, v, interpret=True)
     expected = ref_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5, rtol=1e-4)
+
+
+def test_fused_attention_block_matches_einsum_path(rng):
+    """BertAttention attention_impl='fused' must match the einsum path
+    (postnorm, deterministic) with identical params."""
+    from maskbit_tpu.nn.transformer import BertAttention
+
+    b, n, e, h = 2, 33, 64, 4
+    x = jnp.asarray(rng.normal(size=(b, n, e)), jnp.float32)
+    ref_mod = BertAttention(e, h, dropout=0.0, use_prenorm=False, attention_impl="einsum")
+    variables = ref_mod.init(jax.random.key(0), x)
+    expected = ref_mod.apply(variables, x)
+
+    fused_mod = BertAttention(e, h, dropout=0.0, use_prenorm=False, attention_impl="fused")
+    got = fused_mod.apply(variables, x)  # interpret mode on CPU
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=3e-5, rtol=1e-4)
