@@ -108,8 +108,9 @@ def _attention_block_kernel(
     ) + bqkv_ref[:]
     qkv = qkv.astype(x.dtype)
 
-    # logits scratch is (group, n_pad, n_pad) f32
-    group = min(num_heads, 8)
+    # logits scratch is (group, n_pad, n_pad) f32 — budget ~2.4 MB of VMEM
+    # for it (group 8 at n=272; shrinks automatically for longer sequences)
+    group = max(1, min(num_heads, (2_400_000 // (n_pad * n_pad * 4)) or 1))
     outs = []
     for img in range(imgs):
         qkv_i = qkv[img * n_pad:(img + 1) * n_pad]
