@@ -106,11 +106,15 @@ def main(argv=None):
         key, sub = jax.random.split(key)
         y = jnp.asarray(local_labels[i * batch_size : (i + 1) * batch_size])
         images, _ = sampler(gen_vars, tok_vars, sub, y)
-        images_u8 = np.asarray(jnp.clip(images, 0, 1) * 255.0, np.float32)
+        # stay on device: images -> [0,255] -> inception features, only the
+        # (b, 2048)/(b, 1008) features cross to host
+        images_255 = jnp.clip(images, 0.0, 1.0) * 255.0
         if evaluator is not None:
-            feats = inception_fn(jnp.asarray(images_u8))
+            feats = inception_fn(images_255)
             acts.append(np.asarray(feats["2048"], np.float64))
             logits.append(np.asarray(feats["logits_unbiased"], np.float64))
+        else:
+            jax.block_until_ready(images)
         if (i + 1) % 10 == 0:
             logger.info(f"generated {(i + 1) * batch_size} samples")
 

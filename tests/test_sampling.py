@@ -181,3 +181,23 @@ def test_mask_count_schedule_matches_reference_recurrence():
         )
     # predicted tokens never contain mask ids
     assert int(jnp.max(predicted_h)) < cfg.mask_token
+
+
+def test_512px_geometry():
+    """512px configs: 32x32 token grid, seq 1025, sampler shapes line up."""
+    from maskbit_tpu.models.generator import LFQBert
+
+    model = LFQBert(img_size=512, hidden_dim=32, codebook_size=2**14,
+                    codebook_splits=2, depth=1, heads=2, mlp_dim=64,
+                    nclass=10, input_stride=16)
+    assert model.seq_len == 1024
+    assert model.effective_codebook_size == 128
+    cfg = SamplingConfig(num_steps=2, guidance_scale=0.0, mask_token=128,
+                         patch_size=32, codebook_size=2**14, codebook_splits=2)
+
+    def uniform_logits(tokens, labels, drop):
+        return jnp.zeros(tokens.shape + (128,), jnp.float32)
+
+    final, _ = sample_tokens(uniform_logits, jax.random.key(0),
+                             jnp.zeros((1,), jnp.int32), cfg)
+    assert final.shape == (1, 1024, 2)
