@@ -195,3 +195,34 @@ def test_sampler_step_parity_with_injected_randomness(case):
     assert len(ref_hist) == len(our_hist) == STEPS
     for step, (r, o) in enumerate(zip(ref_hist, our_hist)):
         np.testing.assert_array_equal(o, r, err_msg=f"step {step} ({case})")
+
+
+def test_training_mask_parity_with_injected_randomness():
+    """get_mask_tokens vs the reference masking.py:7-38 with shared draws."""
+    from modeling.modules import masking as ref_masking
+
+    from maskbit_tpu.ops.masking import mask_ratio_from_uniform
+
+    rng = np.random.default_rng(5)
+    tokens = rng.integers(0, 16, size=(4, 16, 2))
+    r_draw = rng.uniform(size=(4,)).astype(np.float32)
+    u_draw = rng.uniform(size=(4, 16, 2)).astype(np.float32)
+
+    # reference with torch.rand patched to pop the shared draws
+    draws = [torch.from_numpy(r_draw), torch.from_numpy(u_draw)]
+    orig_rand = torch.rand
+    torch.rand = lambda *a, **k: draws.pop(0)
+    try:
+        ref_masked, ref_mask = ref_masking.get_mask_tokens(
+            torch.from_numpy(tokens), mask_token=16, mode="arccos"
+        )
+    finally:
+        torch.rand = orig_rand
+
+    # our math with the same draws
+    val = mask_ratio_from_uniform(jnp.asarray(r_draw), "arccos")
+    mask = jnp.asarray(u_draw) < val[:, None, None]
+    masked = jnp.where(mask, 16, jnp.asarray(tokens))
+
+    np.testing.assert_array_equal(np.asarray(mask), ref_mask.numpy())
+    np.testing.assert_array_equal(np.asarray(masked), ref_masked.numpy())
