@@ -58,9 +58,10 @@ def build_optimizers(config, num_devices: int):
         )
         lr, disc_lr = lr * scale, disc_lr * scale
 
+    max_steps = config.select("training.max_train_steps", 1_000_000)
     sched_kwargs = dict(
         num_warmup_steps=config.select("lr_scheduler.params.warmup_steps", 5000),
-        num_training_steps=config.select("training.max_train_steps", 1_000_000),
+        num_training_steps=max_steps,
         minimum_rate=config.select("lr_scheduler.params.minimum_rate", 0.1),
     )
     sched_name = config.select("lr_scheduler.scheduler", "constant")
@@ -73,7 +74,13 @@ def build_optimizers(config, num_devices: int):
         gradient_accumulation_steps=config.select("training.gradient_accumulation_steps", 1),
     )
     gen_tx = make_optimizer(get_schedule(sched_name, lr, **sched_kwargs), **common)
-    disc_tx = make_optimizer(get_schedule(sched_name, disc_lr, **sched_kwargs), **common)
+    # the disc optimizer only steps once the discriminator is live, so its
+    # schedule spans max_steps - discriminator_start (reference :196-207)
+    disc_sched_kwargs = dict(
+        sched_kwargs,
+        num_training_steps=max(1, max_steps - config.select("losses.discriminator_start", 0)),
+    )
+    disc_tx = make_optimizer(get_schedule(sched_name, disc_lr, **disc_sched_kwargs), **common)
 
     if config.select("model.vq_model.finetune_decoder", False):
         # decoder-finetune mode: the encoder/quantizer are frozen
