@@ -177,6 +177,9 @@ def main(argv=None):
             global_step += 1
             timer.batch_tick()
 
+            viz_payload = {k: metrics[k] for k in list(metrics) if k.startswith("_")}
+            metrics = {k: v for k, v in metrics.items() if not k.startswith("_")}
+
             if log_grad_norm_every and global_step % log_grad_norm_every == 0:
                 norms = {k: float(v) for k, v in jax.device_get(metrics).items()
                          if k.startswith("grad_norm/")}
@@ -203,6 +206,13 @@ def main(argv=None):
                 _, grid = make_viz_generated_stage_two(np.asarray(jnp.clip(gen_images, 0, 1)))
                 tracker.log_image("train/generated", grid, global_step)
 
+                # decode ground-truth vs argmax-predicted tokens
+                # (reference reconstructed_and_predicted_images :602-646)
+                _log_decoded_pair(
+                    tokenizer, tokenizer_vars, viz_payload, vq_cfg, mlm_cfg,
+                    num_gen, tracker, global_step,
+                )
+
             if global_step % save_every == 0:
                 _save(ckpt, state, output_dir, global_step, logger)
 
@@ -222,6 +232,27 @@ def main(argv=None):
 
 def _eval_params(state):
     return state.ema.params if state.ema is not None else state.params
+
+
+def _log_decoded_pair(tokenizer, tokenizer_vars, viz_payload, vq_cfg, mlm_cfg,
+                      num_gen, tracker, global_step):
+    """Ground-truth vs predicted token decodes (reference :602-646)."""
+    from maskbit_tpu.ops.bitops import combine_factorized_tokens
+
+    if "_input_tokens" not in viz_payload:
+        return
+    codebook_size = vq_cfg.get("codebook_size", 1024)
+    splits = mlm_cfg.get("codebook_splits", 1)
+    gt = combine_factorized_tokens(
+        viz_payload["_input_tokens"][:num_gen], codebook_size, splits)
+    pred = combine_factorized_tokens(
+        viz_payload["_predicted_tokens"][:num_gen], codebook_size, splits)
+    recon = tokenizer.apply(tokenizer_vars, gt, method="decode_tokens")
+    predicted = tokenizer.apply(tokenizer_vars, pred, method="decode_tokens")
+    _, grid = make_viz_reconstructed_stage_two(
+        np.asarray(jnp.clip(recon, 0, 1)), np.asarray(jnp.clip(predicted, 0, 1))
+    )
+    tracker.log_image("train/decoded", grid, global_step)
 
 
 def _eval_generation(config, sampler, gen_vars, tok_vars, rng, logger,

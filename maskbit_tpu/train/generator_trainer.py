@@ -79,7 +79,16 @@ def _mlm_step_core(
                 deterministic=False,
                 rngs={"dropout": rng_dropout},
             )
-            return mlm_loss(logits, split_tokens, masks, mlm_cfg)
+            loss, loss_dict = mlm_loss(logits, split_tokens, masks, mlm_cfg)
+            # non-scalar viz payloads (underscore keys; CLI pops them):
+            # ground-truth + argmax-predicted tokens for the recon-vs-pred
+            # strips (reference train_maskbit.py:472-480)
+            loss_dict = dict(
+                loss_dict,
+                _input_tokens=split_tokens,
+                _predicted_tokens=lax.stop_gradient(jnp.argmax(logits, axis=-1)),
+            )
+            return loss, loss_dict
 
         (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         loss_dict = dict(loss_dict, grad_norm=optax.global_norm(grads))
