@@ -113,9 +113,10 @@ def test_train_maskbit_cli(tmp_path, monkeypatch):
     metrics = [json.loads(l) for l in open(out_dir / "metrics.jsonl")]
     assert any("mlm_loss" in m for m in metrics)
     assert (out_dir / "model-3.msgpack").exists()
-    # generated-sample viz was produced at step 3
+    # generated-sample + decoded-pair viz were produced at step 3
     images = os.listdir(out_dir / "images")
     assert any("generated" in f for f in images)
+    assert any("decoded" in f for f in images)
 
 
 def test_train_tokenizer_resume(tmp_path, monkeypatch):
