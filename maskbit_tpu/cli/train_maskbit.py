@@ -124,6 +124,9 @@ def main(argv=None):
                                           **step_kwargs)
             )
 
+        from maskbit_tpu.utils.params import summarize_params
+
+        logger.info(summarize_params(state.params, "generator"))
         ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"), max_to_keep=3)
         global_step = 0
         if config.select("experiment.resume", True):

@@ -127,6 +127,10 @@ def main(argv=None):
         )
         max_steps = config.select("training.max_train_steps", 1_000_000)
         log_grad_norm_every = config.select("experiment.log_grad_norm_every", 0)
+        from maskbit_tpu.utils.params import summarize_params
+
+        logger.info(summarize_params(state.gen_params, "tokenizer"))
+        logger.info(summarize_params(state.disc_params, "discriminator"))
         train_step = jax.jit(
             make_tokenizer_train_step(
                 model, discriminator, gen_tx, disc_tx, loss_cfg,
