@@ -25,7 +25,7 @@ from maskbit_tpu.cli.common import setup_experiment
 from maskbit_tpu.cli.eval_tokenizer import make_inception_fn
 from maskbit_tpu.core.checkpoint import load_pretrained
 from maskbit_tpu.core.config import config_from_cli
-from maskbit_tpu.eval.adm import Evaluator, FIDStatistics
+from maskbit_tpu.eval.adm import Evaluator
 from maskbit_tpu.models.generator import make_generator
 from maskbit_tpu.models.tokenizer import ConvVQModel
 from maskbit_tpu.sampling.sample import SamplingConfig, make_sampler

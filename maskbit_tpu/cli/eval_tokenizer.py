@@ -17,7 +17,6 @@ import sys
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from maskbit_tpu.cli.common import build_dataloaders, resolve_compute_dtype, setup_experiment
 from maskbit_tpu.core.checkpoint import load_pretrained

@@ -14,8 +14,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp

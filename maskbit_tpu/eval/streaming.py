@@ -15,7 +15,6 @@ processes before `result()`.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Callable, Mapping, Optional
 

@@ -13,7 +13,6 @@ tests; not a meaningful loss).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Mapping, Tuple
 
 import flax.linen as nn

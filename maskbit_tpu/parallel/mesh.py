@@ -17,7 +17,7 @@ Gradient/metric reduction happens through XLA collectives inserted by GSPMD
 from __future__ import annotations
 
 import re
-from typing import Any, NamedTuple, Optional, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import numpy as np

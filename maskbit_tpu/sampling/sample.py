@@ -19,8 +19,7 @@ the same program.
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Any, Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

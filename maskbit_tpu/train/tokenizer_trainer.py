@@ -19,7 +19,6 @@ GSPMD is the distributed runtime).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Mapping, NamedTuple, Optional, Tuple
 
 import jax
