@@ -110,3 +110,35 @@ def test_make_shards_cli(tmp_path):
     main(["--data_root", str(tmp_path / "data"), "--output", out, "--maxcount", "3"])
     samples = list(iterate_tar_samples(str(tmp_path / "shards" / "out-0000.tar")))
     assert len(samples) == 3
+
+
+def test_eval_tokenizer_taming_variant(tmp_path, monkeypatch):
+    """model_class=taming routes through the attention VQGAN."""
+    from maskbit_tpu.cli.eval_tokenizer import main
+
+    monkeypatch.setenv("WORKSPACE", str(tmp_path / "ws"))
+    monkeypatch.setenv("MASKBIT_EVAL_MAX_BATCHES", "1")
+    cfg = _cfg(tmp_path, "eval_taming", {
+        "model.vq_model": {
+            "model_class": "taming", "quantizer_type": "lookup",
+            "codebook_size": 32, "token_size": 16,
+            "hidden_channels": 32, "channel_mult": [1, 2], "num_res_blocks": 1,
+            "attn_resolutions": [16], "z_channels": 32, "resolution": 32,
+        },
+    })
+    results = main([f"config={cfg}"])
+    assert "PSNR" in results
+
+
+def test_eval_tokenizer_maskgit_variant(tmp_path, monkeypatch):
+    """model_class=maskgit routes through the legacy-decoder ConvVQModel."""
+    from maskbit_tpu.cli.eval_tokenizer import main
+
+    monkeypatch.setenv("WORKSPACE", str(tmp_path / "ws"))
+    monkeypatch.setenv("MASKBIT_EVAL_MAX_BATCHES", "1")
+    cfg = _cfg(tmp_path, "eval_maskgit", {
+        "model.vq_model": dict(TINY_VQ, model_class="maskgit", quantizer_type="lookup",
+                               token_size=16, sample_with_conv=False),
+    })
+    results = main([f"config={cfg}"])
+    assert "CodebookUsage" in results
