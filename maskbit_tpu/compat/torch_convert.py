@@ -189,6 +189,46 @@ def convert_generator_state(state: Mapping[str, np.ndarray]) -> Dict:
     return {"params": params}
 
 
+def convert_discriminator_state(state: Mapping[str, np.ndarray]) -> Dict:
+    """Reference NLayerDiscriminatorv2 state dict -> flax params for
+    nn.discriminator.NLayerDiscriminatorv2.
+
+    torch layout: block_in.0 (conv), blocks.{i}.0 (conv) / blocks.{i}.2
+    (GroupNorm), to_logits.0 (1x1 conv) / to_logits.2 (5x5 conv);
+    BlurBlock kernels are fixed buffers (skipped)."""
+    params: Dict = {}
+
+    def put(path_str: str, value: np.ndarray):
+        _set_path(params, tuple(path_str.split("/")), value)
+
+    for key, value in state.items():
+        if key.endswith(_SKIP_SUFFIXES) or ".kernel" in key:
+            continue  # BlurBlock buffer
+        value = _to_numpy(value)
+        parts = key.split(".")
+        leaf = "kernel" if parts[-1] == "weight" else parts[-1]
+        if value.ndim == 4:
+            value = value.transpose(2, 3, 1, 0)
+        if key.startswith("block_in.0."):
+            put(f"block_in_conv/{leaf}", value)
+        elif key.startswith("blocks."):
+            i, sub = parts[1], parts[2]
+            if sub == "0":
+                put(f"block_{i}_conv/{leaf}", value)
+            elif sub == "2":
+                name = "scale" if parts[-1] == "weight" else "bias"
+                put(f"block_{i}_norm/{name}", value)
+            else:
+                raise ValueError(f"Unrecognized discriminator key {key!r}")
+        elif key.startswith("to_logits.0."):
+            put(f"to_logits_conv1/{leaf}", value)
+        elif key.startswith("to_logits.2."):
+            put(f"to_logits_conv2/{leaf}", value)
+        else:
+            raise ValueError(f"Unrecognized discriminator key {key!r}")
+    return {"params": params}
+
+
 def load_tokenizer_params(path: str) -> Dict:
     return convert_tokenizer_state(load_torch_state_dict(path))
 
