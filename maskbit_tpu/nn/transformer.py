@@ -116,10 +116,15 @@ class BertAttention(nn.Module):
         self.drop = nn.Dropout(self.dropout)
 
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        # fused-block VMEM budget: the in-kernel f32 qkv intermediate is
+        # (n, 3E) — beyond ~4.5 MB (e.g. 512px, n=1025, E=1024) it would
+        # overflow the 16 MB VMEM next to the resident weights; fall back.
+        qkv_f32_bytes = x.shape[1] * 3 * self.embed_dim * 4
         if (
             self.attention_impl == "fused"
             and not self.use_prenorm
             and deterministic
+            and qkv_f32_bytes <= 4_500_000
         ):
             from maskbit_tpu.nn.pallas_attention import fused_attention_block
 
