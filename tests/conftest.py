@@ -19,6 +19,13 @@ import pytest  # noqa: E402
 # the axon site hook re-exports JAX_PLATFORMS=axon; override at config level
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: the suite is compile-dominated (~14 min cold);
+# warm runs reuse executables across processes
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 # Parity tests compare against float32 PyTorch: force full-precision matmuls
 # (JAX's default matmul precision is bf16-class even on CPU).
 jax.config.update("jax_default_matmul_precision", "highest")
