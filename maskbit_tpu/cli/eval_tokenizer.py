@@ -65,6 +65,19 @@ def make_inception_fn():
     return jax.jit(lambda img: model.apply(variables, img.astype(jnp.float32)))
 
 
+def make_lpips_fn():
+    """Bound LPIPS apply if both weight files are available, else None."""
+    lin_path = os.environ.get("MASKBIT_LPIPS_WEIGHTS", "")
+    vgg_path = os.environ.get("MASKBIT_VGG16_WEIGHTS", "")
+    if not (os.path.exists(lin_path) and os.path.exists(vgg_path)):
+        return None
+    from maskbit_tpu.losses.lpips import LPIPS, load_lpips_params
+
+    model = LPIPS()
+    variables = load_lpips_params(lin_path, vgg_path)
+    return jax.jit(lambda real, fake: model.apply(variables, real, fake))
+
+
 def main(argv=None):
     config = config_from_cli(argv if argv is not None else sys.argv[1:])
     ctx = setup_experiment(config, subdir="eval")
@@ -87,10 +100,17 @@ def main(argv=None):
         logger.warning(
             "MASKBIT_INCEPTION_WEIGHTS not set — rFID / InceptionScore disabled"
         )
+    lpips_fn = make_lpips_fn()
+    if lpips_fn is None:
+        logger.warning(
+            "MASKBIT_LPIPS_WEIGHTS / MASKBIT_VGG16_WEIGHTS not set — LPIPS disabled"
+        )
     evaluator = TokenizerEvaluator(
         inception_fn=inception_fn,
+        lpips_fn=lpips_fn,
         enable_rfid=inception_fn is not None,
         enable_inception_score=inception_fn is not None,
+        enable_lpips_score=lpips_fn is not None,
         enable_psnr_score=True,
         enable_ssim_score=True,
         enable_mse_error=True,
