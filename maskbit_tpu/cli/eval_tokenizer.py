@@ -136,6 +136,9 @@ def main(argv=None):
             codebook_indices=result["min_encoding_indices"],
         )
 
+    # each host evaluated its shard split; sum accumulators across hosts
+    evaluator.merge_across_hosts()
+
     results = evaluator.result()
     logger.info(f"EVALUATION: {results}")
     print(json.dumps(results))

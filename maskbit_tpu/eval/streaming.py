@@ -199,6 +199,40 @@ class TokenizerEvaluator:
             entries, counts = np.unique(np.asarray(codebook_indices), return_counts=True)
             self._codebook_frequencies[entries.astype(np.int64)] += counts.astype(np.float64)
 
+    def merge_across_hosts(self) -> None:
+        """Sum the accumulators over all JAX processes (no-op single-host).
+
+        Everything is a plain sum; the codebook-usage set becomes a presence
+        vector (union == elementwise max)."""
+        if jax.process_count() == 1:
+            return
+        from jax.experimental import multihost_utils
+
+        def total(x):
+            gathered = np.asarray(multihost_utils.process_allgather(np.asarray(x)))
+            return gathered.sum(axis=0)
+
+        presence = np.zeros(self._num_codebook_entries, np.float64)
+        if self._codebook_set:
+            presence[np.asarray(sorted(self._codebook_set), np.int64)] = 1.0
+
+        self._num_examples = int(total(self._num_examples))
+        self._num_updates = int(total(self._num_updates))
+        self._mae_sum = float(total(self._mae_sum))
+        self._mse_sum = float(total(self._mse_sum))
+        self._psnr_sum = float(total(self._psnr_sum))
+        self._ssim_sum = float(total(self._ssim_sum))
+        self._lpips_sum = float(total(self._lpips_sum))
+        self._is_prob_total = total(self._is_prob_total)
+        self._is_total_kl_d = total(self._is_total_kl_d)
+        self._rfid_real_total = total(self._rfid_real_total)
+        self._rfid_fake_total = total(self._rfid_fake_total)
+        self._rfid_real_sigma = total(self._rfid_real_sigma)
+        self._rfid_fake_sigma = total(self._rfid_fake_sigma)
+        merged_presence = np.minimum(total(presence), 1.0)
+        self._codebook_set = set(np.nonzero(merged_presence)[0].tolist())
+        self._codebook_frequencies = total(self._codebook_frequencies)
+
     def merge_from(self, other: "TokenizerEvaluator") -> None:
         """Sum another evaluator's accumulators into this one (multi-host
         eval: each host evaluates its shard split, then host 0 merges)."""
