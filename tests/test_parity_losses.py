@@ -186,3 +186,32 @@ def test_ema_trajectory_matches_reference():
     np.testing.assert_allclose(
         np.asarray(state.params["b"]), ref_ema.shadow_params[1].numpy(), rtol=1e-5
     )
+
+
+def test_discriminator_v2_forward_parity(rng):
+    """NLayerDiscriminatorv2 logits vs the reference via converted weights
+    (covers BlurBlock, GroupNorm eps 1e-5, adaptive max pool, logits head)."""
+    from modeling.modules.discriminator import NLayerDiscriminatorv2 as RefD
+
+    from maskbit_tpu.compat.torch_convert import convert_discriminator_state
+    from maskbit_tpu.nn.discriminator import NLayerDiscriminatorv2
+
+    for blur in (False, True):
+        torch.manual_seed(3)
+        ref = RefD(num_channels=3, hidden_channels=32, num_stages=2,
+                   blur_resample=blur, blur_kernel_size=4)
+        ref.eval()
+        mine = NLayerDiscriminatorv2(num_channels=3, hidden_channels=32,
+                                     num_stages=2, blur_resample=blur,
+                                     blur_kernel_size=4)
+        params = convert_discriminator_state(
+            {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        )
+        x = rng.uniform(size=(2, 3, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            expected = ref(torch.from_numpy(x)).numpy()
+        got = mine.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 3, 1, 2), expected,
+            atol=2e-4, rtol=1e-3, err_msg=f"blur={blur}",
+        )
