@@ -23,6 +23,40 @@ from maskbit_tpu.utils.logger import setup_logger
 from maskbit_tpu.utils.tracker import create_tracker
 
 
+def validate_generator_config(config: Config) -> None:
+    """Fail fast on inconsistent token geometry (a silent-NaN footgun:
+    out-of-range token ids fill embeddings with NaN under jnp.take)."""
+    import math
+
+    vq = config.model.vq_model
+    mlm = config.model.mlm_model
+    codebook_size = vq.get("codebook_size", 1024)
+    bits = int(math.log2(codebook_size))
+    if 2**bits != codebook_size:
+        raise ValueError(f"codebook_size {codebook_size} is not a power of two")
+    if vq.get("quantizer_type", "lookup-free") == "lookup-free" and vq.get("token_size") != bits:
+        raise ValueError(
+            f"lookup-free tokenizer: token_size {vq.get('token_size')} must equal "
+            f"log2(codebook_size) = {bits}"
+        )
+    splits = mlm.get("codebook_splits", 1)
+    if bits % splits != 0:
+        raise ValueError(f"codebook_splits {splits} must divide token bits {bits}")
+    res = config.select("dataset.preprocessing.resolution", 256)
+    stride = mlm.get("input_stride", 16)
+    tok_stride = 2 ** (vq.get("num_resolutions", 5) - 1)
+    if stride != tok_stride:
+        raise ValueError(
+            f"mlm_model.input_stride {stride} must match the tokenizer downsample "
+            f"factor 2^(num_resolutions-1) = {tok_stride}"
+        )
+    if mlm.get("img_size", 256) != res:
+        raise ValueError(
+            f"mlm_model.img_size {mlm.get('img_size', 256)} must match "
+            f"dataset resolution {res}"
+        )
+
+
 def resolve_compute_dtype(config: Config):
     mp = config.select("training.mixed_precision", "no")
     return jnp.bfloat16 if mp in ("bf16", "bfloat16") else jnp.float32

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from maskbit_tpu.cli.common import setup_experiment
+from maskbit_tpu.cli.common import setup_experiment, validate_generator_config
 from maskbit_tpu.cli.eval_tokenizer import make_inception_fn
 from maskbit_tpu.core.checkpoint import load_pretrained
 from maskbit_tpu.core.config import config_from_cli
@@ -33,6 +33,7 @@ from maskbit_tpu.sampling.sample import SamplingConfig, make_sampler
 
 def main(argv=None):
     config = config_from_cli(argv if argv is not None else sys.argv[1:])
+    validate_generator_config(config)
     ctx = setup_experiment(config, subdir="eval_generation")
     logger = ctx["logger"]
 

@@ -26,6 +26,7 @@ from maskbit_tpu.cli.common import (
     build_dataloaders,
     resolve_compute_dtype,
     setup_experiment,
+    validate_generator_config,
 )
 from maskbit_tpu.core.checkpoint import CheckpointManager, load_pretrained, save_pretrained
 from maskbit_tpu.core.config import config_from_cli
@@ -46,6 +47,7 @@ from maskbit_tpu.utils.viz import make_viz_generated_stage_two, make_viz_reconst
 
 def main(argv=None):
     config = config_from_cli(argv if argv is not None else sys.argv[1:])
+    validate_generator_config(config)
     ctx = setup_experiment(config)
     logger, tracker, mesh = ctx["logger"], ctx["tracker"], ctx["mesh"]
     output_dir = ctx["output_dir"]

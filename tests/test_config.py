@@ -68,3 +68,37 @@ def test_merge_and_dotted_select():
     assert merged.a.b == 1 and merged.a.c == 2
     assert merged.select("a.c") == 2
     assert merged.select("a.missing", default=7) == 7
+
+
+def test_validate_generator_config():
+    from maskbit_tpu.cli.common import validate_generator_config
+
+    def cfg(**over):
+        tree = {
+            "model": {
+                "vq_model": {"codebook_size": 1024, "token_size": 10,
+                             "quantizer_type": "lookup-free", "num_resolutions": 5},
+                "mlm_model": {"codebook_splits": 2, "input_stride": 16, "img_size": 256},
+            },
+            "dataset": {"preprocessing": {"resolution": 256}},
+        }
+        for k, v in over.items():
+            node = tree
+            parts = k.split("__")
+            for p in parts[:-1]:
+                node = node[p]
+            node[parts[-1]] = v
+        return Config(tree)
+
+    validate_generator_config(cfg())  # valid
+
+    with pytest.raises(ValueError, match="power of two"):
+        validate_generator_config(cfg(model__vq_model__codebook_size=1000))
+    with pytest.raises(ValueError, match="token_size"):
+        validate_generator_config(cfg(model__vq_model__token_size=12))
+    with pytest.raises(ValueError, match="codebook_splits"):
+        validate_generator_config(cfg(model__mlm_model__codebook_splits=3))
+    with pytest.raises(ValueError, match="input_stride"):
+        validate_generator_config(cfg(model__mlm_model__input_stride=8))
+    with pytest.raises(ValueError, match="img_size"):
+        validate_generator_config(cfg(model__mlm_model__img_size=512))
