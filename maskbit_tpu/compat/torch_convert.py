@@ -229,6 +229,55 @@ def convert_discriminator_state(state: Mapping[str, np.ndarray]) -> Dict:
     return {"params": params}
 
 
+def convert_original_discriminator_state(
+    state: Mapping[str, np.ndarray], num_stages: int = 3
+) -> Dict:
+    """Reference OriginalNLayerDiscriminator (Pix2Pix) state dict -> flax
+    params for nn.discriminator.OriginalNLayerDiscriminator.
+
+    torch Sequential layout: [Conv, LReLU] + per-stage [Conv, BN, LReLU]
+    (stages 1..num_stages-1 strided, then one stride-1 stage) + [Conv out].
+    """
+    params: Dict = {}
+    batch_stats: Dict = {}
+
+    def put(tree, path_str: str, value: np.ndarray):
+        _set_path(tree, tuple(path_str.split("/")), value)
+
+    # sequential index -> (kind, name)
+    layout = {0: ("conv", "conv_0")}
+    idx = 2
+    for n in range(1, num_stages + 1):
+        layout[idx] = ("conv", f"conv_{n}")
+        layout[idx + 1] = ("bn", f"bn_{n}")
+        idx += 3
+    layout[idx] = ("conv", "conv_out")
+
+    for key, value in state.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        value = _to_numpy(value)
+        parts = key.split(".")
+        assert parts[0] == "main", f"Unrecognized discriminator key {key!r}"
+        kind, name = layout[int(parts[1])]
+        leaf = parts[2]
+        if kind == "conv":
+            if leaf == "weight":
+                put(params, f"{name}/kernel", value.transpose(2, 3, 1, 0))
+            else:
+                put(params, f"{name}/bias", value)
+        else:  # batchnorm
+            if leaf == "weight":
+                put(params, f"{name}/scale", value)
+            elif leaf == "bias":
+                put(params, f"{name}/bias", value)
+            elif leaf == "running_mean":
+                put(batch_stats, f"{name}/mean", value)
+            elif leaf == "running_var":
+                put(batch_stats, f"{name}/var", value)
+    return {"params": params, "batch_stats": batch_stats}
+
+
 def load_tokenizer_params(path: str) -> Dict:
     return convert_tokenizer_state(load_torch_state_dict(path))
 

@@ -215,3 +215,26 @@ def test_discriminator_v2_forward_parity(rng):
             np.asarray(got).transpose(0, 3, 1, 2), expected,
             atol=2e-4, rtol=1e-3, err_msg=f"blur={blur}",
         )
+
+
+def test_original_discriminator_forward_parity(rng):
+    """Pix2Pix OriginalNLayerDiscriminator (BatchNorm) in eval mode."""
+    from modeling.modules.discriminator import OriginalNLayerDiscriminator as RefD
+
+    from maskbit_tpu.compat.torch_convert import convert_original_discriminator_state
+    from maskbit_tpu.nn.discriminator import OriginalNLayerDiscriminator
+
+    torch.manual_seed(4)
+    ref = RefD(num_channels=3, hidden_channels=32, num_stages=3)
+    ref.eval()
+    mine = OriginalNLayerDiscriminator(num_channels=3, hidden_channels=32, num_stages=3)
+    variables = convert_original_discriminator_state(
+        {k: v.detach().numpy() for k, v in ref.state_dict().items()}, num_stages=3
+    )
+    x = rng.uniform(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        expected = ref(torch.from_numpy(x)).numpy()
+    got = mine.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), expected, atol=2e-4, rtol=1e-3
+    )
