@@ -238,3 +238,56 @@ def test_original_discriminator_forward_parity(rng):
     np.testing.assert_allclose(
         np.asarray(got).transpose(0, 3, 1, 2), expected, atol=2e-4, rtol=1e-3
     )
+
+
+def test_lpips_forward_parity_with_injected_vgg(rng):
+    """Full LPIPS parity: random VGG16 weights injected into the reference
+    (torchvision stubbed) and converted into our flax LPIPS; the bundled
+    lin-head weights load on both sides."""
+    import sys
+    import types
+
+    torch.manual_seed(5)
+    cfgs = [(3, 64), (64, 64), "M", (64, 128), (128, 128), "M",
+            (128, 256), (256, 256), (256, 256), "M",
+            (256, 512), (512, 512), (512, 512), "M",
+            (512, 512), (512, 512), (512, 512), "M"]
+    layers = []
+    for c in cfgs:
+        if c == "M":
+            layers.append(torch.nn.MaxPool2d(2, 2))
+        else:
+            layers.append(torch.nn.Conv2d(c[0], c[1], 3, padding=1))
+            layers.append(torch.nn.ReLU())
+    features = torch.nn.Sequential(*layers)
+
+    tv = sys.modules["torchvision"]  # the stub installed by reference_compat
+    class _Weights:
+        IMAGENET1K_V1 = object()
+    tv.models.vgg16 = lambda **k: types.SimpleNamespace(features=features)
+    tv.models.VGG16_Weights = _Weights
+
+    from modeling.modules.lpips import LPIPS as RefLPIPS
+
+    ref = RefLPIPS(use_dropout=True)
+    ref.eval()
+
+    from maskbit_tpu.losses.lpips import LPIPS, convert_lpips_weights
+
+    lin_state = torch.load("/root/reference/pretrained/vgg_lpips.pth",
+                           map_location="cpu", weights_only=True)
+    variables = convert_lpips_weights(
+        {k: v.numpy() for k, v in lin_state.items()},
+        {k: v.detach().numpy() for k, v in features.state_dict().items()},
+    )
+
+    x = rng.uniform(size=(2, 3, 64, 64)).astype(np.float32)
+    y = np.clip(x + rng.normal(scale=0.1, size=x.shape), 0, 1).astype(np.float32)
+    with torch.no_grad():
+        expected = ref(torch.from_numpy(x), torch.from_numpy(y)).numpy()
+
+    got = LPIPS().apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                        jnp.asarray(y.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(-1), expected.reshape(-1), atol=1e-5, rtol=1e-3
+    )
