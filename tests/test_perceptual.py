@@ -89,3 +89,22 @@ def test_lpips_lin_weights_load():
     lins = params["params"]
     for k, ch in zip(range(5), (64, 128, 256, 512, 512)):
         assert lins[f"lin_{k}"]["kernel"].shape == (1, 1, ch, 1)
+
+
+def test_resize_224_matches_torch_antialias(rng):
+    """jax.image.resize(bilinear) == torch interpolate(antialias=True) to 3e-7
+    — the perceptual losses see identical 224px inputs."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from maskbit_tpu.losses.perceptual import resize_224_bilinear
+
+    x = rng.uniform(size=(2, 3, 256, 256)).astype(np.float32)
+    expected = F.interpolate(
+        torch.from_numpy(x), size=224, mode="bilinear", antialias=True,
+        align_corners=False,
+    ).numpy()
+    got = np.asarray(
+        resize_224_bilinear(jnp.asarray(x.transpose(0, 2, 3, 1)))
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
