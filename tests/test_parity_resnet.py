@@ -100,3 +100,88 @@ def test_resnet50_forward_parity(rng):
         np.asarray(feat_j).transpose(0, 3, 1, 2), feat_t.numpy(), atol=2e-3, rtol=1e-2
     )
     np.testing.assert_allclose(np.asarray(logit_j), logit_t.numpy(), atol=2e-3, rtol=1e-2)
+
+
+class TorchCNBlock(torch.nn.Module):
+    """torchvision CNBlock layout (keys block.{0,2,3,5}, layer_scale)."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.block = torch.nn.Sequential(
+            torch.nn.Conv2d(dim, dim, 7, padding=3, groups=dim),   # 0
+            torch.nn.Identity(),                                   # 1 (Permute)
+            torch.nn.LayerNorm(dim, eps=1e-6),                      # 2
+            torch.nn.Linear(dim, 4 * dim),                          # 3
+            torch.nn.GELU(),                                        # 4
+            torch.nn.Linear(4 * dim, dim),                          # 5
+        )
+        self.layer_scale = torch.nn.Parameter(torch.full((dim, 1, 1), 1e-6))
+
+    def forward(self, x):
+        y = self.block[0](x).permute(0, 2, 3, 1)
+        y = self.block[5](self.block[4](self.block[3](self.block[2](y))))
+        return x + self.layer_scale * y.permute(0, 3, 1, 2)
+
+
+class LayerNorm2d(torch.nn.LayerNorm):
+    """torchvision LayerNorm2d: per-pixel channel normalization on NCHW."""
+
+    def forward(self, x):
+        x = x.permute(0, 2, 3, 1)
+        x = super().forward(x)
+        return x.permute(0, 3, 1, 2)
+
+
+class TorchConvNeXtSmall(torch.nn.Module):
+    """torchvision convnext_small layout (features.{0..7}, classifier)."""
+
+    def __init__(self, num_classes=1000):
+        super().__init__()
+        depths, dims = (3, 3, 27, 3), (96, 192, 384, 768)
+        feats = []
+        # stem: Conv2dNormActivation(conv, LayerNorm2d)
+        feats.append(torch.nn.Sequential(
+            torch.nn.Conv2d(3, dims[0], 4, stride=4),
+            LayerNorm2d(dims[0], eps=1e-6),
+        ))
+        for stage, (depth, dim) in enumerate(zip(depths, dims)):
+            if stage > 0:
+                feats.append(torch.nn.Sequential(
+                    LayerNorm2d(dims[stage - 1], eps=1e-6),
+                    torch.nn.Conv2d(dims[stage - 1], dim, 2, stride=2),
+                ))
+            feats.append(torch.nn.Sequential(*[TorchCNBlock(dim) for _ in range(depth)]))
+        self.features = torch.nn.Sequential(*feats)
+        self.classifier = torch.nn.Sequential(
+            LayerNorm2d(dims[-1], eps=1e-6),
+            torch.nn.Flatten(1),
+            torch.nn.Linear(dims[-1], num_classes),
+        )
+
+    def forward(self, x):
+        x = self.features(x)
+        features = x
+        pooled = torch.nn.functional.adaptive_avg_pool2d(x, 1)
+        return features, self.classifier(pooled)
+
+
+def test_convnext_small_forward_parity(rng):
+    from maskbit_tpu.losses.convnext import ConvNeXtSmall, convert_convnext_small_state
+
+    torch.manual_seed(8)
+    ref = TorchConvNeXtSmall()
+    ref.eval()
+    variables = convert_convnext_small_state(
+        {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    )
+    bare = {"params": variables["params"]["model"]}
+
+    x = rng.uniform(size=(1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        feat_t, logit_t = ref(torch.from_numpy(x))
+    feat_j, logit_j = ConvNeXtSmall().apply(bare, jnp.asarray(x.transpose(0, 2, 3, 1)))
+
+    np.testing.assert_allclose(
+        np.asarray(feat_j).transpose(0, 3, 1, 2), feat_t.numpy(), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(np.asarray(logit_j), logit_t.numpy(), atol=2e-4, rtol=1e-3)
