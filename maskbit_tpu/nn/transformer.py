@@ -117,14 +117,16 @@ class BertAttention(nn.Module):
 
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         # fused-block VMEM budget: the in-kernel f32 qkv intermediate is
-        # (n, 3E) — beyond ~4.5 MB (e.g. 512px, n=1025, E=1024) it would
-        # overflow the 16 MB VMEM next to the resident weights; fall back.
+        # (n, 3E). Beyond the default ~16 MB VMEM scope the kernel raises
+        # `vmem_limit_bytes` itself (measured 1.8x over XLA at 512px/n=1025);
+        # cap at the largest measured-working size (n_pad=1040, E=1024 ->
+        # 12.8 MB) and fall back to einsum beyond it.
         qkv_f32_bytes = x.shape[1] * 3 * self.embed_dim * 4
         if (
             self.attention_impl == "fused"
             and not self.use_prenorm
             and deterministic
-            and qkv_f32_bytes <= 4_500_000
+            and qkv_f32_bytes <= 13_000_000
         ):
             from maskbit_tpu.nn.pallas_attention import fused_attention_block
 

