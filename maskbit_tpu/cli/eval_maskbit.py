@@ -7,8 +7,9 @@ Usage (mirrors reference scripts/eval_maskbit.py):
 
 TPU-first: class-balanced shuffled labels (randperm(1000) x 50, reference
 :107-108), generation sharded over hosts (each host generates its slice of
-the 50k samples; activations are gathered before the FID/IS computation),
-the 64-step sampler + decode as one jit.
+the 50k samples; FID/IS are reduced from per-host f64 moment accumulators
+— ~32 MB across the pod instead of gathering 50k activations), the 64-step
+sampler + decode as one jit.
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ from maskbit_tpu.cli.common import setup_experiment, validate_generator_config
 from maskbit_tpu.cli.eval_tokenizer import make_inception_fn
 from maskbit_tpu.core.checkpoint import load_pretrained
 from maskbit_tpu.core.config import config_from_cli
-from maskbit_tpu.eval.adm import Evaluator
+from maskbit_tpu.eval.adm import AdmMomentAccumulator, Evaluator
 from maskbit_tpu.models.generator import make_generator
 from maskbit_tpu.models.tokenizer import ConvVQModel
 from maskbit_tpu.sampling.sample import SamplingConfig, make_sampler
@@ -100,7 +101,11 @@ def main(argv=None):
             "skipping FID/IS computation"
         )
 
-    acts, logits = [], []
+    # reduction-friendly streaming: FID moments + per-split IS moments in
+    # f64 accumulate per host and allgather as ~32 MB of sums, instead of
+    # gathering all 50k x 2048 activations (SURVEY §2.5; exact — the
+    # moments merge associatively to the single-host statistics)
+    accum = AdmMomentAccumulator(total_samples=total_samples) if evaluator else None
     key = jax.random.key(seed + p_idx)
     logger.info(f"generating {num_batches * batch_size} samples on host {p_idx}")
     for i in range(num_batches):
@@ -110,34 +115,29 @@ def main(argv=None):
         # stay on device: images -> [0,255] -> inception features, only the
         # (b, 2048)/(b, 1008) features cross to host
         images_255 = jnp.clip(images, 0.0, 1.0) * 255.0
-        if evaluator is not None:
+        if accum is not None:
             feats = inception_fn(images_255)
-            acts.append(np.asarray(feats["2048"], np.float64))
-            logits.append(np.asarray(feats["logits_unbiased"], np.float64))
+            # global sample index of host p's local sample j is j*p_cnt + p
+            # (labels were strided p_idx::p_cnt) — keeps IS split boundaries
+            # exact across any number of hosts
+            local_idx = np.arange(i * batch_size, (i + 1) * batch_size)
+            accum.update(
+                np.asarray(feats["2048"]), np.asarray(feats["logits_unbiased"]),
+                local_idx * p_cnt + p_idx,
+            )
         else:
             jax.block_until_ready(images)
         if (i + 1) % 10 == 0:
             logger.info(f"generated {(i + 1) * batch_size} samples")
 
     results = {}
-    if evaluator is not None:
-        sample_acts = np.concatenate(acts)
-        sample_logits = np.concatenate(logits)
-        if p_cnt > 1:
-            from jax.experimental import multihost_utils
-
-            sample_acts = np.asarray(
-                multihost_utils.process_allgather(sample_acts)
-            ).reshape(-1, sample_acts.shape[-1])
-            sample_logits = np.asarray(
-                multihost_utils.process_allgather(sample_logits)
-            ).reshape(-1, sample_logits.shape[-1])
-        sample_stats = evaluator.compute_statistics(sample_acts)
-        results["InceptionScore"] = evaluator.compute_inception_score_from_logits(sample_logits)
+    if accum is not None:
+        accum.merge_across_hosts()
+        results["InceptionScore"] = accum.inception_score()
         stats_path = config.select("eval.stats_path", "")
         if stats_path and os.path.exists(stats_path):
             ref_stats = evaluator.read_statistics(stats_path, None)
-            results["FID"] = sample_stats.frechet_distance(ref_stats)
+            results["FID"] = accum.fid_statistics().frechet_distance(ref_stats)
         else:
             logger.warning(f"eval.stats_path {stats_path!r} missing — FID skipped")
 

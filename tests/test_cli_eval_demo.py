@@ -76,6 +76,42 @@ def test_eval_maskbit_cli(tmp_path, monkeypatch):
     assert results == {}
 
 
+def test_eval_maskbit_cli_with_metrics(tmp_path, monkeypatch):
+    """Full metrics path through the CLI: a stub inception fn drives the
+    moment accumulator, IS and FID (vs an on-disk stats npz) end to end."""
+    import jax.numpy as jnp
+
+    import maskbit_tpu.cli.eval_maskbit as em
+
+    def stub_inception_fn():
+        proj = np.asarray(
+            np.random.default_rng(0).normal(size=(3, 2048)), np.float32
+        )
+        def fn(images_255):
+            pooled = jnp.mean(images_255 / 255.0, axis=(1, 2))  # (b, 3)
+            feats = pooled @ jnp.asarray(proj)
+            return {"2048": feats, "logits_unbiased": feats[:, :1008]}
+        return fn
+
+    monkeypatch.setattr(em, "make_inception_fn", stub_inception_fn)
+    rng = np.random.default_rng(1)
+    ref_acts = rng.normal(size=(64, 2048))
+    stats_path = tmp_path / "ref_stats.npz"
+    np.savez(stats_path, mu=ref_acts.mean(0), sigma=np.cov(ref_acts, rowvar=False))
+
+    monkeypatch.setenv("WORKSPACE", str(tmp_path / "ws"))
+    cfg = _cfg(tmp_path, "eval_gen_metrics", {
+        "model.mlm_model": TINY_MLM,
+        "eval.total_samples": 4,
+        "eval.batch_size": 2,
+        "eval.stats_path": str(stats_path),
+        "experiment.generator_checkpoint": "",
+    })
+    results = em.main([f"config={cfg}"])
+    assert np.isfinite(results["FID"]) and results["FID"] > 0
+    assert np.isfinite(results["InceptionScore"]) and results["InceptionScore"] >= 1.0
+
+
 def test_demo_cli(tmp_path, monkeypatch):
     from maskbit_tpu.cli.demo import imagenet_classname, main
 

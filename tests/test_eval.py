@@ -115,6 +115,49 @@ def test_inception_model_shapes(rng):
     assert out["logits_unbiased"].shape == (2, 1008)
 
 
+def test_adm_moment_accumulator_matches_full_gather(rng):
+    """Per-host moment accumulators, merged, must reproduce EXACTLY what the
+    single-host full-activation path computes (FID stats and split-IS) —
+    the multi-host eval_maskbit reduction relies on this."""
+    from maskbit_tpu.eval.adm import AdmMomentAccumulator, Evaluator
+
+    n, dim, nclass, split = 120, 8, 6, 50
+    acts = rng.normal(size=(n, dim))
+    logits = rng.normal(size=(n, nclass)) * 3.0
+
+    # reference: single-host full-gather computation
+    ev = Evaluator(inception_fn=None)
+    ref_stats = ev.compute_statistics(acts)
+    ref_is = ev.compute_inception_score_from_logits(logits, split_size=split)
+
+    # 3 "hosts" with strided sample assignment (as eval_maskbit shards),
+    # batched updates, merged via state dicts
+    hosts = []
+    for p in range(3):
+        acc = AdmMomentAccumulator(dim=dim, nclass=nclass,
+                                   total_samples=n, split_size=split)
+        idx = np.arange(n)[p::3]
+        for lo in range(0, len(idx), 16):
+            sel = idx[lo:lo + 16]
+            acc.update(acts[sel], logits[sel], sel)
+        hosts.append(acc)
+    merged = hosts[0]
+    for other in hosts[1:]:
+        merged.merge_state(other.state())
+
+    assert merged.count == n
+    got_stats = merged.fid_statistics()
+    np.testing.assert_allclose(got_stats.mu, ref_stats.mu, rtol=1e-12)
+    np.testing.assert_allclose(got_stats.sigma, ref_stats.sigma, rtol=1e-9)
+    np.testing.assert_allclose(merged.inception_score(), ref_is, rtol=1e-12)
+    # and the FID computed from the merged moments agrees with full-gather
+    shifted = ev.compute_statistics(acts + 0.5)
+    np.testing.assert_allclose(
+        got_stats.frechet_distance(shifted),
+        ref_stats.frechet_distance(shifted), rtol=1e-8,
+    )
+
+
 def test_generator_evaluator_vs_tokenizer_evaluator_is(rng):
     """Both evaluators must produce the same IS from the same fake batch."""
     model = InceptionV3()
