@@ -62,6 +62,26 @@ def resolve_compute_dtype(config: Config):
     return jnp.bfloat16 if mp in ("bf16", "bfloat16") else jnp.float32
 
 
+def reset_optimizer_counts(opt_state):
+    """Zero every step-counter leaf (`count`, `gradient_step`, `mini_step`)
+    in an optax state while keeping the moments (mu/nu) — the JAX analogue
+    of the reference's `resume_lr_scheduler: false`, which drops the LR
+    schedulers from the accelerate state before load so the schedule
+    restarts while the optimizer is kept (train_tokenizer.py:308-329,
+    train_maskbit.py:313-332)."""
+    import jax.tree_util as jtu
+
+    names = {"count", "gradient_step", "mini_step"}
+
+    def fix(path, leaf):
+        name = getattr(path[-1], "name", None) if path else None
+        if name in names:
+            return jnp.zeros_like(leaf)
+        return leaf
+
+    return jtu.tree_map_with_path(fix, opt_state)
+
+
 def maybe_init_distributed() -> None:
     """Multi-host init (one process per host on a pod slice).
 

@@ -136,6 +136,15 @@ def main(argv=None):
             if restored is not None:
                 state, global_step = restored
                 state = jax.tree.map(jnp.asarray, state)
+                # reference resume opt-outs (train_maskbit.py:313-332)
+                if not config.select("experiment.resume_lr_scheduler", True):
+                    from maskbit_tpu.cli.common import reset_optimizer_counts
+
+                    state = state._replace(opt=reset_optimizer_counts(state.opt))
+                    logger.info("LR schedule position reset on resume")
+                if config.select("experiment.dont_resume_optimizer", False):
+                    state = state._replace(opt=tx.init(state.params))
+                    logger.info("optimizer state reset on resume")
                 logger.info(f"resumed from step {global_step}")
 
         if token_shards:

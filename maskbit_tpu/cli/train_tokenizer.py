@@ -159,6 +159,16 @@ def main(argv=None):
             if restored is not None:
                 state, global_step = restored
                 state = jax.tree.map(jnp.asarray, state)
+                if not config.select("experiment.resume_lr_scheduler", True):
+                    # reference opt-out (train_tokenizer.py:308-329): keep
+                    # the optimizer but restart the LR schedule position
+                    from maskbit_tpu.cli.common import reset_optimizer_counts
+
+                    state = state._replace(
+                        gen_opt=reset_optimizer_counts(state.gen_opt),
+                        disc_opt=reset_optimizer_counts(state.disc_opt),
+                    )
+                    logger.info("LR schedule position reset on resume")
                 if config.select("experiment.dont_resume_optimizer", False):
                     # reference opt-out (train_tokenizer.py:308-329): fresh
                     # optimizer (and thus LR schedule position)

@@ -168,6 +168,48 @@ def test_train_tokenizer_resume(tmp_path, monkeypatch):
     assert 1 in steps and 3 in steps
 
 
+def test_reset_optimizer_counts_keeps_moments():
+    """resume_lr_scheduler=false helper: step counters zero, moments kept —
+    so the LR schedule restarts while Adam's mu/nu history continues
+    (reference train_tokenizer.py:308-329 semantics)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from maskbit_tpu.cli.common import reset_optimizer_counts
+
+    tx = optax.MultiSteps(
+        optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adamw(optax.cosine_decay_schedule(1e-3, 100)),
+        ),
+        every_k_schedule=1,
+    )
+    params = {"w": jnp.ones((3,))}
+    opt = tx.init(params)
+    for _ in range(5):
+        updates, opt = tx.update({"w": jnp.full((3,), 0.1)}, opt, params)
+        params = optax.apply_updates(params, updates)
+
+    reset = reset_optimizer_counts(opt)
+    counts_before, counts_after, moments = [], [], []
+
+    def walk(path, a, b):
+        name = getattr(path[-1], "name", None) if path else None
+        if name in ("count", "gradient_step", "mini_step"):
+            counts_before.append(int(a))
+            counts_after.append(int(b))
+        elif a.ndim > 0:
+            moments.append(bool(jnp.all(a == b)))
+
+    jax.tree_util.tree_map_with_path(
+        lambda p, a, b: walk(p, a, b), opt, reset
+    )
+    assert counts_before and max(counts_before) == 5
+    assert all(c == 0 for c in counts_after)
+    assert moments and all(moments)  # mu/nu untouched
+
+
 def test_train_tokenizer_finetune_decoder(tmp_path, monkeypatch):
     """Decoder-finetune mode: encoder params stay EXACTLY fixed (no grads,
     no weight decay), decoder params move."""
