@@ -174,15 +174,20 @@ def fused_attention_block(
     kernel = functools.partial(
         _attention_block_kernel, num_heads=num_heads, valid_len=n, eps=eps, imgs=imgs
     )
-    # long sequences (512px -> n=1025) need more than the default ~16 MB
-    # VMEM scope for the f32 qkv intermediate; raising the limit there is a
-    # measured 1.8x win over XLA (3.2 vs 5.8 ms/block at b16 n1025 E1024),
-    # but raising it unconditionally costs ~4% at n=257 — so only when needed.
-    kwargs = {}
-    if n_pad * 3 * e * 4 > 4_500_000:
-        kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+    # VMEM limit policy (all measured on v5e at E=1024):
+    #  * short sequences: 20 MB. The default ~16 MB scope is enough for the
+    #    kernel alone but can OOM by a few hundred KB inside larger programs
+    #    (e.g. the 64-step sampler at CFG batch 80); 20 MB costs nothing
+    #    (1.737 vs 1.762 ms/block at b64 n257) while 100 MB costs ~4%.
+    #  * long sequences (512px -> n=1025): the f32 qkv intermediate needs a
+    #    raised scope; 100 MB is a measured 1.8x win over XLA
+    #    (3.2 vs 5.8 ms/block at b16 n1025).
+    long_seq = n_pad * 3 * e * 4 > 4_500_000
+    kwargs = {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=(100 if long_seq else 20) * 1024 * 1024
         )
+    }
     out = pl.pallas_call(
         kernel,
         grid=(b // imgs,),
