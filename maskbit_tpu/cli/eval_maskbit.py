@@ -68,6 +68,15 @@ def main(argv=None):
         patch_size=res // 2 ** (vq_cfg.get("num_resolutions", 5) - 1)
     )
     mesh = ctx["mesh"]
+    if jax.process_count() > 1:
+        # generation is embarrassingly parallel across hosts: a per-host mesh
+        # keeps the sampler free of global arrays / cross-host collectives
+        # (only ~32 MB of plain-sum moments merge at the end); sharding stays
+        # on ICI, matching the reference's per-rank generation at
+        # scripts/eval_maskbit.py:34-56.
+        from maskbit_tpu.parallel.mesh import MeshConfig, local_mesh
+
+        mesh = local_mesh(MeshConfig())
     batch_size = int(config.select("eval.batch_size", 100))
     data_shards = mesh.shape["data"] * mesh.shape["fsdp"]
     if data_shards > 1 and batch_size % data_shards == 0:

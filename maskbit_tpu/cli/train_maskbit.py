@@ -33,7 +33,7 @@ from maskbit_tpu.core.config import config_from_cli
 from maskbit_tpu.losses.mlm import MLMLossConfig
 from maskbit_tpu.models.generator import make_generator
 from maskbit_tpu.models.tokenizer import ConvVQModel
-from maskbit_tpu.parallel.mesh import batch_sharding, is_main_process
+from maskbit_tpu.parallel.mesh import global_batch_array, is_main_process
 from maskbit_tpu.sampling.sample import SamplingConfig, make_sampler
 from maskbit_tpu.train.generator_trainer import (
     init_generator_train_state,
@@ -171,7 +171,6 @@ def main(argv=None):
         eval_every = config.select("experiment.eval_every", 100_000)
         generate_every = config.select("experiment.generate_every", 10_000)
         num_gen = config.select("training.num_generated_images", 4)
-        sharding = batch_sharding(mesh)
         timer = StepTimer()
         profiler = ProfilerHook(output_dir, config.select("experiment.profile_steps", ""))
         rng_step = jax.random.key(ctx["seed"] + 1)
@@ -180,13 +179,13 @@ def main(argv=None):
             batch = next(train_iter)
             timer.data_tick()
             profiler.step(global_step)
-            labels = jax.device_put(jnp.asarray(batch["class_id"]), sharding)
+            labels = global_batch_array(batch["class_id"], mesh)
             rng_step, sub = jax.random.split(rng_step)
             if token_shards:
-                tokens = jax.device_put(jnp.asarray(batch["tokens"]), sharding)
+                tokens = global_batch_array(batch["tokens"], mesh)
                 state, metrics = train_step(state, tokens, labels, sub)
             else:
-                images = jax.device_put(jnp.asarray(batch["image"]), sharding)
+                images = global_batch_array(batch["image"], mesh)
                 state, metrics = train_step(state, tokenizer_vars, images, labels, sub)
             global_step += 1
             timer.batch_tick()
@@ -240,6 +239,7 @@ def main(argv=None):
                     logger.info(f"eval @ {global_step}: {results}")
 
         _save(ckpt, state, output_dir, global_step, logger)
+        ckpt.wait()  # commit the final async save before exit
         profiler.close()
         tracker.close()
 
@@ -298,7 +298,8 @@ def _eval_generation(config, sampler, gen_vars, tok_vars, rng, logger,
 
 
 def _save(ckpt, state, output_dir, step, logger):
-    ckpt.save(step, jax.device_get(state))
+    # async: device->host copy now, disk write overlaps with training
+    ckpt.save(step, state)
     if is_main_process():
         save_pretrained(jax.device_get(state.params),
                         os.path.join(output_dir, f"model-{step}.msgpack"))

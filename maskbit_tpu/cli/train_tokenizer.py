@@ -33,7 +33,7 @@ from maskbit_tpu.core.config import config_from_cli
 from maskbit_tpu.losses.vqgan import VQGANLossConfig
 from maskbit_tpu.models.tokenizer import ConvVQModel
 from maskbit_tpu.nn.discriminator import create_discriminator
-from maskbit_tpu.parallel.mesh import batch_sharding, is_main_process
+from maskbit_tpu.parallel.mesh import global_batch_array, is_main_process
 from maskbit_tpu.train.tokenizer_trainer import (
     init_tokenizer_train_state,
     make_optimizer,
@@ -196,7 +196,6 @@ def main(argv=None):
         save_every = config.select("experiment.save_every", 20_000)
         eval_every = config.select("experiment.eval_every", 20_000)
         generate_every = config.select("experiment.generate_every", 2000)
-        sharding = batch_sharding(mesh)
         timer = StepTimer()
         profiler = ProfilerHook(output_dir, config.select("experiment.profile_steps", ""))
         rng_step = jax.random.key(ctx["seed"] + 1)
@@ -205,7 +204,7 @@ def main(argv=None):
             batch = next(train_iter)
             timer.data_tick()
             profiler.step(global_step)
-            images = jax.device_put(jnp.asarray(batch["image"]), sharding)
+            images = global_batch_array(batch["image"], mesh)
             rng_step, sub = jax.random.split(rng_step)
             state, metrics = train_step(state, images, perceptual_vars, sub)
             global_step += 1
@@ -245,6 +244,7 @@ def main(argv=None):
                 logger.info(f"eval @ {global_step}: {results}")
 
         _save(ckpt, state, model, output_dir, global_step, logger)
+        ckpt.wait()  # commit the final async save before exit
         profiler.close()
         tracker.close()
 
@@ -254,7 +254,8 @@ def _eval_params(state):
 
 
 def _save(ckpt, state, model, output_dir, step, logger):
-    ckpt.save(step, jax.device_get(state))
+    # async: device->host copy now, disk write overlaps with training
+    ckpt.save(step, state)
     if is_main_process():
         save_pretrained(
             jax.device_get(state.gen_params),

@@ -142,19 +142,19 @@ class AdmMomentAccumulator:
             getattr(self, name).__iadd__(np.asarray(state[name]))
 
     def merge_across_hosts(self) -> None:
-        """Sum partial moments over all JAX processes (exact reduction)."""
+        """Sum partial moments over all JAX processes (bit-exact reduction:
+        the f64 moments travel as raw bits, see process_allgather_f64)."""
         import jax
 
         if jax.process_count() == 1:
             return
-        from jax.experimental import multihost_utils
+        from maskbit_tpu.parallel.mesh import process_allgather_f64
 
         state = self.state()
-        gathered = multihost_utils.process_allgather(state)
-        self.count = int(np.sum(gathered["count"]))
+        self.count = int(np.sum(process_allgather_f64(state["count"])))
         for name in self._ARRAYS:
-            setattr(self, name, np.sum(np.asarray(gathered[name]), axis=0,
-                                       dtype=getattr(self, name).dtype))
+            merged = np.sum(process_allgather_f64(state[name]), axis=0)
+            setattr(self, name, merged.astype(getattr(self, name).dtype))
 
     # -- results ---------------------------------------------------------------
     def fid_statistics(self) -> FIDStatistics:

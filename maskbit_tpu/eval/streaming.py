@@ -203,14 +203,15 @@ class TokenizerEvaluator:
         """Sum the accumulators over all JAX processes (no-op single-host).
 
         Everything is a plain sum; the codebook-usage set becomes a presence
-        vector (union == elementwise max)."""
+        vector (union == elementwise max). Transport is the bit-exact f64
+        allgather (process_allgather would downcast the f64 moments to f32)."""
         if jax.process_count() == 1:
             return
-        from jax.experimental import multihost_utils
+        from maskbit_tpu.parallel.mesh import process_allgather_f64
 
         def total(x):
-            gathered = np.asarray(multihost_utils.process_allgather(np.asarray(x)))
-            return gathered.sum(axis=0)
+            out = process_allgather_f64(x).sum(axis=0)
+            return out[0] if np.ndim(np.asarray(x)) == 0 else out
 
         presence = np.zeros(self._num_codebook_entries, np.float64)
         if self._codebook_set:

@@ -20,6 +20,7 @@ import re
 from typing import NamedTuple, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -135,6 +136,46 @@ def shard_params(params, mesh: Mesh):
     """Device-put a parameter tree according to the partitioning rules."""
     shardings = param_shardings(params, mesh)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def local_mesh(config: MeshConfig = MeshConfig()) -> Mesh:
+    """A mesh over this process's addressable devices only.
+
+    For embarrassingly-parallel work (the 50k-sample gFID generation) a
+    per-host mesh keeps sharding on ICI and needs no global jax.Arrays;
+    hosts then merge plain-sum moments (eval/adm.py)."""
+    return create_mesh(config, devices=jax.local_devices())
+
+
+def global_batch_array(local_batch, mesh: Mesh) -> jax.Array:
+    """Assemble per-process local batches into ONE global array sharded over
+    the mesh's batch axes (data, fsdp).
+
+    The multi-host data contract (reference scripts/train_tokenizer.py:61-67
+    gets this from accelerate's DataLoader sharding): every process feeds
+    global_batch/process_count examples. Single-process this is a plain
+    device_put; multi-process each host's rows become its addressable shards
+    of the global array — no gather through one host."""
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(local_batch), sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(local_batch))
+
+
+def process_allgather_f64(x) -> np.ndarray:
+    """Bit-exact float64 process allgather -> stacked (nproc, *shape).
+
+    `multihost_utils.process_allgather` routes host data through jax arrays,
+    which silently downcasts f64 -> f32 under the default x64-disabled config
+    (and TPUs have no f64 at all). Evaluator moments are f64 sums whose
+    cross-host merge must be exact, so ship the raw bits as uint32 pairs and
+    reinterpret on the other side."""
+    from jax.experimental import multihost_utils
+
+    x = np.ascontiguousarray(np.atleast_1d(np.asarray(x, np.float64)))
+    bits = x.view(np.uint32).reshape(x.shape + (2,))
+    gathered = np.ascontiguousarray(np.asarray(multihost_utils.process_allgather(bits)))
+    return gathered.view(np.float64).reshape((gathered.shape[0],) + x.shape)
 
 
 def is_main_process() -> bool:
