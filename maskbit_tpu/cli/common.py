@@ -218,14 +218,20 @@ def build_perceptual(config: Config, logger):
         return (lambda v, a, b: module.apply(v, a, b)), variables
 
     if name == "lpips":
-        from maskbit_tpu.losses.lpips import LPIPS, load_lpips_params
+        from maskbit_tpu.losses.lpips import (
+            LPIPS,
+            bundled_lin_weights_path,
+            load_lpips_params,
+        )
 
-        lin_path = os.environ.get("MASKBIT_LPIPS_WEIGHTS", "")
+        # lin heads are bundled (converted from the reference's in-repo
+        # pretrained/vgg_lpips.pth); the VGG16 backbone stays env-gated
+        lin_path = os.environ.get("MASKBIT_LPIPS_WEIGHTS", bundled_lin_weights_path())
         vgg_path = os.environ.get("MASKBIT_VGG16_WEIGHTS", "")
         if not (os.path.exists(lin_path) and os.path.exists(vgg_path)):
             logger.warning(
-                "LPIPS weights unavailable (MASKBIT_LPIPS_WEIGHTS / "
-                "MASKBIT_VGG16_WEIGHTS); disabling perceptual loss."
+                "LPIPS VGG16 backbone weights unavailable "
+                "(MASKBIT_VGG16_WEIGHTS); disabling perceptual loss."
             )
             return None, None
         module = LPIPS()

@@ -67,11 +67,12 @@ def make_inception_fn():
 
 def make_lpips_fn():
     """Bound LPIPS apply if both weight files are available, else None."""
-    lin_path = os.environ.get("MASKBIT_LPIPS_WEIGHTS", "")
+    from maskbit_tpu.losses.lpips import LPIPS, bundled_lin_weights_path, load_lpips_params
+
+    lin_path = os.environ.get("MASKBIT_LPIPS_WEIGHTS", bundled_lin_weights_path())
     vgg_path = os.environ.get("MASKBIT_VGG16_WEIGHTS", "")
     if not (os.path.exists(lin_path) and os.path.exists(vgg_path)):
         return None
-    from maskbit_tpu.losses.lpips import LPIPS, load_lpips_params
 
     model = LPIPS()
     variables = load_lpips_params(lin_path, vgg_path)

@@ -14,6 +14,7 @@ LPIPS is not a meaningful metric).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List, Mapping, Optional
 
 import flax.linen as nn
@@ -131,9 +132,24 @@ def convert_lpips_weights(
     return {"params": params}
 
 
+def bundled_lin_weights_path() -> str:
+    """The repo-bundled converted LPIPS lin heads (the reference ships these
+    in-repo at pretrained/vgg_lpips.pth; converted by
+    tools/convert_lpips_lin.py — the VGG16 backbone stays env-gated)."""
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "assets", "vgg_lpips_lin.msgpack")
+
+
 def load_lpips_params(lpips_path: str, vgg_path: Optional[str] = None) -> Dict:
     from maskbit_tpu.compat.torch_convert import load_torch_state_dict
 
-    lpips_state = load_torch_state_dict(lpips_path)
-    vgg_state = load_torch_state_dict(vgg_path) if vgg_path else None
-    return convert_lpips_weights(lpips_state, vgg_state)
+    if lpips_path.endswith(".msgpack"):
+        from flax import serialization
+
+        with open(lpips_path, "rb") as f:
+            params = serialization.msgpack_restore(f.read())
+    else:
+        params = convert_lpips_weights(load_torch_state_dict(lpips_path))["params"]
+    if vgg_path:
+        params["net"] = convert_vgg16_features(load_torch_state_dict(vgg_path))
+    return {"params": params}

