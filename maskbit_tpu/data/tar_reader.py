@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import io
 import itertools
+import os
 import queue
 import random
 import re
@@ -91,6 +92,29 @@ def _decode_sample(sample: Dict[str, bytes], transform: Callable) -> Optional[Tu
     return transform(img), label
 
 
+# --- process-pool decode backend -------------------------------------------
+# JPEG decode in CPython threads is mostly GIL-free (PIL releases it), but on
+# very wide pod hosts the residual GIL contention of transform/numpy code can
+# cap throughput; this is the selectable escape hatch (same iterator API).
+_WORKER_TRANSFORM: Optional[Callable] = None
+
+
+def _decode_pool_init(transform: Callable, seed: int) -> None:
+    """Initializer for decode worker processes: bind the transform once per
+    worker (instead of pickling it per sample) and decorrelate its augment
+    rng across workers."""
+    global _WORKER_TRANSFORM
+    import os as _os
+
+    if transform is not None and hasattr(transform, "rng"):
+        transform.rng = random.Random(f"{seed}-{_os.getpid()}")
+    _WORKER_TRANSFORM = transform
+
+
+def _decode_in_worker(sample: Dict[str, bytes]) -> Optional[Tuple[np.ndarray, int]]:
+    return _decode_sample(sample, _WORKER_TRANSFORM)
+
+
 class ShuffleBuffer:
     def __init__(self, size: int, rng: random.Random):
         self.size = size
@@ -124,10 +148,13 @@ class TarImageDataset:
         process_index: int = 0,
         process_count: int = 1,
         num_decode_threads: int = 8,
+        decode_backend: str = "thread",
     ):
         self.shards = expand_shard_pattern(shards)
         if not self.shards:
             raise ValueError(f"No shards matched {shards!r}")
+        if decode_backend not in ("thread", "process"):
+            raise ValueError(f"decode_backend must be 'thread' or 'process', got {decode_backend!r}")
         self.transform = transform
         self.resample = resample
         self.shuffle_buffer_size = shuffle_buffer_size
@@ -135,6 +162,7 @@ class TarImageDataset:
         self.process_index = process_index
         self.process_count = process_count
         self.num_decode_threads = num_decode_threads
+        self.decode_backend = decode_backend
 
     def _shard_iterator(self) -> Iterator[str]:
         if self.resample:
@@ -167,20 +195,36 @@ class TarImageDataset:
                     yield decoded
             return
 
-        with ThreadPoolExecutor(self.num_decode_threads) as pool:
+        if self.decode_backend == "process":
+            # spawn (not fork): the parent may hold live TPU/JAX runtime state
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+
+            pool = ProcessPoolExecutor(
+                self.num_decode_threads,
+                mp_context=mp.get_context("spawn"),
+                initializer=_decode_pool_init,
+                initargs=(self.transform, self.seed),
+            )
+            submit = lambda s: pool.submit(_decode_in_worker, s)
+        else:
+            pool = ThreadPoolExecutor(self.num_decode_threads)
+            submit = lambda s: pool.submit(_decode_sample, s, self.transform)
+
+        with pool:
             window = 2 * self.num_decode_threads
             futures: "queue.Queue" = queue.Queue()
             sample_iter = iter(samples)
             n_inflight = 0
             for s in itertools.islice(sample_iter, window):
-                futures.put(pool.submit(_decode_sample, s, self.transform))
+                futures.put(submit(s))
                 n_inflight += 1
             while n_inflight:
                 fut = futures.get()
                 n_inflight -= 1
                 nxt = next(sample_iter, None)
                 if nxt is not None:
-                    futures.put(pool.submit(_decode_sample, nxt, self.transform))
+                    futures.put(submit(nxt))
                     n_inflight += 1
                 decoded = fut.result()
                 if decoded is not None:
@@ -261,8 +305,12 @@ class SimpleImagenet:
         seed: int = 0,
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
+        decode_backend: Optional[str] = None,
     ):
         import jax
+
+        if decode_backend is None:
+            decode_backend = os.environ.get("MASKBIT_DECODE_BACKEND", "thread")
 
         process_index = jax.process_index() if process_index is None else process_index
         process_count = jax.process_count() if process_count is None else process_count
@@ -287,12 +335,14 @@ class SimpleImagenet:
             resample=True, shuffle_buffer_size=shuffle_buffer_size,
             seed=seed, process_index=process_index, process_count=process_count,
             num_decode_threads=num_workers_per_device,
+            decode_backend=decode_backend,
         )
         self._eval_dataset = TarImageDataset(
             eval_shards_path_or_url, eval_transform,
             resample=False, seed=seed,
             process_index=process_index, process_count=process_count,
             num_decode_threads=num_workers_per_device,
+            decode_backend=decode_backend,
         )
 
     @property

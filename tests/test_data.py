@@ -1,5 +1,6 @@
 """Data pipeline tests: shard writer -> tar reader round trip, transforms."""
 
+import itertools
 import io
 
 import numpy as np
@@ -148,3 +149,49 @@ def test_create_sharded_dataset(tmp_path, rng):
     assert len(samples) == 7
     labels = sorted(int(s["cls"]) for s in samples)
     assert labels == [0, 0, 0, 1, 1, 1, 1]
+
+
+def test_process_decode_backend_matches_thread(shard_dir):
+    """The multiprocessing decode pool (ROADMAP #6: GIL escape hatch for wide
+    pod hosts) yields the same samples as the thread pool through the same
+    iterator API (eval path is deterministic: no augmentation rng)."""
+    kwargs = dict(resample=False, num_decode_threads=2)
+    ds_thread = TarImageDataset(
+        str(shard_dir / "test-{0000..0002}.tar"), EvalTransform(resolution=32),
+        decode_backend="thread", **kwargs,
+    )
+    ds_proc = TarImageDataset(
+        str(shard_dir / "test-{0000..0002}.tar"), EvalTransform(resolution=32),
+        decode_backend="process", **kwargs,
+    )
+    a, b = list(ds_thread), list(ds_proc)
+    assert len(a) == len(b) == 25
+    for (img_a, lab_a), (img_b, lab_b) in zip(a, b):
+        assert lab_a == lab_b
+        np.testing.assert_array_equal(img_a, img_b)
+
+
+def test_process_decode_backend_train_path(shard_dir):
+    """Process backend works with the augmenting train transform (per-worker
+    rng reseed) and respects the shuffle-buffer iterator contract."""
+    from maskbit_tpu.data.transforms import TrainTransform
+
+    ds = TarImageDataset(
+        str(shard_dir / "test-{0000..0002}.tar"),
+        TrainTransform(resolution=32, seed=0),
+        resample=True, shuffle_buffer_size=8, num_decode_threads=2,
+        decode_backend="process",
+    )
+    items = list(itertools.islice(iter(ds), 30))
+    assert len(items) == 30
+    for img, label in items:
+        assert img.shape == (32, 32, 3) and img.dtype == np.float32
+        assert 0 <= label < 5
+
+
+def test_decode_backend_validation(shard_dir):
+    with pytest.raises(ValueError):
+        TarImageDataset(
+            str(shard_dir / "test-0000.tar"), EvalTransform(resolution=32),
+            decode_backend="bogus",
+        )
