@@ -33,19 +33,36 @@ class CheckpointManager:
         options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True)
         self._manager = ocp.CheckpointManager(self.directory, options=options)
 
-    def save(self, step: int, state: Any, metadata: Optional[dict] = None) -> None:
+    def save(self, step: int, state: Any, metadata: Optional[dict] = None,
+             blocking: bool = False) -> None:
+        """Save the train state. Async by default: device->host transfer
+        happens now, the disk write overlaps with subsequent train steps
+        (pod-scale saves must not block the step loop); the next save/restore
+        /close waits for completion. Pass blocking=True to wait here."""
         self._manager.save(step, args=ocp.args.StandardSave(state))
-        self._manager.wait_until_finished()
+        if blocking:
+            self._manager.wait_until_finished()
         meta = {"global_step": int(step)}
         if metadata:
             meta.update(metadata)
         with open(os.path.join(self.directory, f"metadata-{step}.json"), "w") as f:
             json.dump(meta, f)
 
+    def wait(self) -> None:
+        """Block until any in-flight async save has committed."""
+        self._manager.wait_until_finished()
+
     def latest_step(self) -> Optional[int]:
+        self._manager.wait_until_finished()
         return self._manager.latest_step()
 
     def restore_latest(self, abstract_state: Any) -> Optional[Tuple[Any, int]]:
+        """Restore the newest checkpoint into `abstract_state`'s structure.
+
+        `abstract_state` may be concrete host arrays (single-host resume) or
+        `jax.ShapeDtypeStruct`s carrying `NamedSharding`s — the pod-resume
+        path: each host then reads only its shards and the restored tree
+        comes back already sharded over the mesh."""
         step = self.latest_step()
         if step is None:
             return None
@@ -54,6 +71,18 @@ class CheckpointManager:
 
     def close(self):
         self._manager.close()
+
+
+def abstract_sharded(state: Any, shardings: Any) -> Any:
+    """A ShapeDtypeStruct tree carrying NamedShardings — the template for a
+    pod resume via `CheckpointManager.restore_latest` (each host reads only
+    its shards). `shardings` is a matching tree, e.g. from
+    `parallel.mesh.param_shardings` for params and `replicated(mesh)`
+    elsewhere."""
+    return jax.tree.map(
+        lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
+        state, shardings,
+    )
 
 
 def save_pretrained(params: Any, path: str) -> None:

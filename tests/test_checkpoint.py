@@ -82,3 +82,68 @@ def test_convert_checkpoint_cli(tmp_path):
     main(["--input", src, "--output", dst])
     loaded = load_pretrained(dst)
     assert loaded["params"]["encoder"]["conv_in"]["kernel"].shape == (3, 3, 3, 8)
+
+
+def test_async_save_commits_on_wait(tmp_path):
+    """save() is async (VERDICT r1 item 7: saves must not block the step
+    loop); wait()/latest_step() fence the in-flight write."""
+    ckpt = CheckpointManager(str(tmp_path / "ckpts"))
+    ckpt.save(3, {"params": _tree(3)})
+    ckpt.wait()
+    assert ckpt.latest_step() == 3
+    restored, step = ckpt.restore_latest({"params": _tree(0)})
+    assert step == 3
+    np.testing.assert_array_equal(
+        restored["params"]["a"]["kernel"], _tree(3)["a"]["kernel"]
+    )
+
+
+def test_sharded_restore_on_mesh(tmp_path):
+    """Pod-resume contract: save a TP/fsdp-sharded train state, restore into
+    an abstract template carrying NamedShardings — values AND shardings come
+    back (reference resume contract: scripts/train_tokenizer.py:298-331)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import optax
+
+    from maskbit_tpu.core.checkpoint import abstract_sharded
+    from maskbit_tpu.models.generator import LFQBert
+    from maskbit_tpu.parallel.mesh import (
+        MeshConfig, create_mesh, param_shardings, replicated, shard_params,
+    )
+    from maskbit_tpu.train.generator_trainer import init_generator_train_state
+
+    mesh = create_mesh(MeshConfig(data=-1, fsdp=2, tensor=2))
+    generator = LFQBert(
+        img_size=16, hidden_dim=32, codebook_size=64, codebook_splits=2,
+        depth=1, heads=2, mlp_dim=64, dropout=0.0, nclass=10, input_stride=4,
+    )
+    tx = optax.adamw(1e-3)
+    with mesh:
+        state = init_generator_train_state(generator, tx, jax.random.key(0))
+        sharded_params = shard_params(state.params, mesh)
+        state = state._replace(
+            params=sharded_params, opt=jax.jit(tx.init)(sharded_params)
+        )
+        ckpt = CheckpointManager(str(tmp_path / "ckpts"))
+        ckpt.save(11, state)
+        ckpt.wait()
+
+        # the template a fresh pod process would build: shapes + shardings,
+        # no concrete values
+        shardings = state._replace(
+            params=param_shardings(state.params, mesh),
+            opt=jax.tree.map(lambda x: x.sharding, state.opt),
+            ema=jax.tree.map(lambda x: x.sharding, state.ema),
+            step=replicated(mesh),
+        )
+        template = abstract_sharded(state, shardings)
+        restored, step = ckpt.restore_latest(template)
+        assert step == 11
+        flat_r = jax.tree.leaves(restored.params)
+        flat_s = jax.tree.leaves(state.params)
+        flat_sh = jax.tree.leaves(param_shardings(state.params, mesh))
+        assert any(not s.is_fully_replicated for s in flat_sh)
+        for r, s, sh in zip(flat_r, flat_s, flat_sh):
+            assert r.sharding == sh, (r.sharding, sh)
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(s))
