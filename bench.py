@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 32  # throughput-optimal serving batch on one v5e chip
+BATCH = 24  # throughput-optimal serving batch on one v5e chip (round-2 sweep)
 NUM_STEPS = 64
 REPEATS = 3
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")

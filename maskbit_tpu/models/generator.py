@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from maskbit_tpu.nn.transformer import TransformerEncoder, layer_norm
 from maskbit_tpu.ops import bitops
+from maskbit_tpu.ops.activations import gelu_erf
 
 Dtype = Any
 
@@ -121,7 +122,7 @@ class _GeneratorBase(nn.Module):
 
         x = nn.Dense(self.hidden_dim, kernel_init=trunc_normal, dtype=self.dtype,
                      name="last_dense")(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu_erf(x)  # fusable exact gelu (ops/activations.py)
         x = layer_norm("last_norm")(x).astype(self.dtype)
         return x
 

@@ -21,6 +21,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from maskbit_tpu.ops.activations import gelu_erf
+
 Dtype = Any
 
 LAYERNORM_EPS = 1e-12
@@ -166,7 +168,9 @@ class BertFeedForward(nn.Module):
 
         def net(h):
             h = nn.Dense(self.hidden_dim, kernel_init=init, dtype=self.dtype, name="fc1")(h)
-            h = nn.gelu(h, approximate=False)
+            # exact gelu via the fusable erf polynomial — lax.erf breaks the
+            # matmul-epilogue fusion on TPU (ops/activations.py)
+            h = gelu_erf(h)
             h = nn.Dense(self.dim, kernel_init=init, dtype=self.dtype, name="fc2")(h)
             return nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
