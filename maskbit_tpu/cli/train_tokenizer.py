@@ -198,7 +198,10 @@ def main(argv=None):
         generate_every = config.select("experiment.generate_every", 2000)
         timer = StepTimer()
         profiler = ProfilerHook(output_dir, config.select("experiment.profile_steps", ""))
-        rng_step = jax.random.key(ctx["seed"] + 1)
+        # rbg: the TPU hardware PRNG. threefry dropout-mask generation costs
+        # ~60 ms/step on the 24-layer generator (BENCHMARKS.md round 2);
+        # rbg generates in hardware at no measurable cost.
+        rng_step = jax.random.key(ctx["seed"] + 1, impl="rbg")
 
         while global_step < max_steps:
             batch = next(train_iter)
