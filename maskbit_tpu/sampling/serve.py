@@ -14,7 +14,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from maskbit_tpu.parallel.mesh import batch_sharding, replicated
+from maskbit_tpu.parallel.mesh import batch_sharding, global_batch_array, replicated
 from maskbit_tpu.sampling.sample import SamplingConfig, make_sampler
 
 
@@ -37,7 +37,8 @@ def make_sharded_sampler(
     )
 
     def run(gen_vars, tok_vars, key: jax.Array, labels: jnp.ndarray):
-        labels = jax.device_put(jnp.asarray(labels, jnp.int32), batch_sharding(mesh))
+        # multi-process-safe: each host contributes its local label slice
+        labels = global_batch_array(jnp.asarray(labels, jnp.int32), mesh)
         return sampler(gen_vars, tok_vars, key, labels)
 
     return run

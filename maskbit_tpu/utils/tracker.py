@@ -94,7 +94,12 @@ class MultiTracker:
 
 def create_tracker(logger_name: str, output_dir: str, project: str = "maskbit_tpu",
                    run_name: str = "run", config: Optional[dict] = None):
-    """Factory: 'tensorboard' | 'wandb' | 'jsonl' (always adds jsonl)."""
+    """Factory: 'tensorboard' | 'wandb' | 'jsonl' (always adds jsonl);
+    'none' is a no-op — used on non-main processes so a pod run has exactly
+    one writer per log file (reference: accelerate gates logging to the
+    main process)."""
+    if logger_name == "none":
+        return MultiTracker()
     jsonl = JsonlTracker(output_dir)
     if logger_name == "tensorboard":
         try:

@@ -101,3 +101,86 @@ def test_shard_split_disjoint_and_covering(mp_results):
         seen.extend(r["my_shards"])
     assert len(seen) == len(set(seen)), f"overlapping shard split: {seen}"
     assert set(seen) == all_shards
+
+
+def test_train_cli_two_processes(tmp_path):
+    """The full train_tokenizer CLI under 2-process jax.distributed (the
+    local pod-launch equivalent): global-batch assembly from per-host
+    slices, cross-process grad reduction, Orbax multi-process checkpoint
+    coordination, in-train eval merge, main-process output gating."""
+    import yaml
+
+    cfg = {
+        "experiment": {"name": "mp_tok", "max_train_examples": 64,
+                       "save_every": 100, "eval_every": 2, "generate_every": 100,
+                       "log_every": 1, "logger": "jsonl", "resume": True},
+        "model": {
+            "vq_model": {
+                "model_class": "vqgan+", "quantizer_type": "lookup-free",
+                "codebook_size": 16, "token_size": 4, "commitment_cost": 0.25,
+                "entropy_loss_weight": 0.01, "entropy_loss_temperature": 0.01,
+                "entropy_gamma": 1.0, "num_channels": 3, "hidden_channels": 32,
+                "channel_mult": [1, 2], "num_resolutions": 2, "num_res_blocks": 1,
+                "sample_with_conv": True,
+            },
+            "discriminator": {"name": "VQGAN+Discriminator", "num_channels": 3,
+                              "num_stages": 1, "hidden_channels": 32,
+                              "blur_resample": True, "blur_kernel_size": 4},
+        },
+        "losses": {
+            "quantizer_weight": 1.0, "perceptual_loss": "none",
+            "perceptual_weight": 0.0, "reconstruction_loss": "l2",
+            "reconstruction_weight": 1.0, "discriminator_start": 2,
+            "discriminator_loss": "hinge", "discriminator_factor": 1.0,
+            "discriminator_weight": 0.1, "discriminator_gradient_penalty": "adopt_weight",
+            "discriminator_penalty_cost": 10.0, "lecam_regularization_weight": 0.001,
+            "entropy_annealing_steps": 10, "entropy_annealing_factor": 1.0,
+        },
+        "dataset": {
+            "params": {"train_shards_path_or_url": "/nonexistent/{0000..0001}.tar",
+                       "eval_shards_path_or_url": "/nonexistent/{0000..0001}.tar"},
+            "preprocessing": {"resolution": 32, "use_aspect_ratio_aug": False,
+                              "use_random_crop": False, "min_scale": 0.8,
+                              "interpolation": "bilinear"},
+        },
+        "optimizer": {"name": "adamw", "params": {"learning_rate": 1e-3}},
+        "lr_scheduler": {"scheduler": "constant_with_warmup", "params": {"warmup_steps": 2}},
+        "training": {"gradient_accumulation_steps": 1, "per_device_batch_size": 2,
+                     "mixed_precision": "no", "use_ema": True, "seed": 0,
+                     "max_train_steps": 3, "overfit_batch": False,
+                     "num_generated_images": 1, "max_grad_norm": 1.0},
+    }
+    config_path = tmp_path / "cfg.yaml"
+    config_path.write_text(yaml.safe_dump(cfg))
+    workspace = tmp_path / "ws"
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    port = _free_port()
+    worker = os.path.join(REPO, "tests", "multiprocess_train_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), str(NPROC), str(port),
+             str(workspace), str(config_path)],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(NPROC)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"train worker {pid} failed:\n{out[-6000:]}"
+
+    results = []
+    for pid in range(NPROC):
+        with open(workspace / f"train_result_{pid}.json") as f:
+            results.append(json.load(f))
+
+    out_dir = workspace / "mp_tok"
+    # main process wrote logs, checkpoints, exports; training progressed
+    assert results[0]["metrics_exists"]
+    assert len(results[0]["losses"]) == 3
+    assert all(abs(l) < 1e6 for l in results[0]["losses"])
+    assert (out_dir / "model-3.msgpack").exists()
+    assert any(p.startswith("metadata-") for p in os.listdir(out_dir / "checkpoints"))
