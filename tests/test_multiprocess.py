@@ -184,3 +184,60 @@ def test_train_cli_two_processes(tmp_path):
     assert all(abs(l) < 1e6 for l in results[0]["losses"])
     assert (out_dir / "model-3.msgpack").exists()
     assert any(p.startswith("metadata-") for p in os.listdir(out_dir / "checkpoints"))
+
+
+def test_eval_cli_two_processes(tmp_path):
+    """The full eval_maskbit CLI under 2-process jax.distributed: each host
+    samples its strided label share on a per-host mesh, ADM moments merge
+    across processes, and both hosts report IDENTICAL final metrics."""
+    import numpy as np
+    import yaml
+
+    from test_cli_eval_demo import DATASET, TINY_MLM, TINY_VQ
+
+    rng = np.random.default_rng(1)
+    ref_acts = rng.normal(size=(64, 2048))
+    stats_path = tmp_path / "ref_stats.npz"
+    np.savez(stats_path, mu=ref_acts.mean(0), sigma=np.cov(ref_acts, rowvar=False))
+
+    tree = {
+        "experiment": {"name": "mp_eval", "logger": "jsonl", "resume": False,
+                       "vqgan_checkpoint": "", "generator_checkpoint": "",
+                       "max_train_examples": 8},
+        "model": {"vq_model": TINY_VQ, "mlm_model": TINY_MLM},
+        "dataset": DATASET,
+        "training": {"per_device_batch_size": 2, "mixed_precision": "no", "seed": 0},
+        "eval": {"total_samples": 8, "batch_size": 2,
+                 "stats_path": str(stats_path)},
+    }
+    config_path = tmp_path / "mp_eval.yaml"
+    config_path.write_text(yaml.safe_dump(tree))
+    workspace = tmp_path / "ws"
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    port = _free_port()
+    worker = os.path.join(REPO, "tests", "multiprocess_eval_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), str(NPROC), str(port),
+             str(workspace), str(config_path)],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(NPROC)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"eval worker {pid} failed:\n{out[-6000:]}"
+
+    results = []
+    for pid in range(NPROC):
+        with open(workspace / f"eval_result_{pid}.json") as f:
+            results.append(json.load(f)["results"])
+    for r in results:
+        assert np.isfinite(r["FID"]) and r["FID"] > 0
+        assert np.isfinite(r["InceptionScore"]) and r["InceptionScore"] >= 1.0
+    # the merged moments are global: every host must report the same numbers
+    assert results[0] == results[1]
