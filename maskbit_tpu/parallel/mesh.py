@@ -56,7 +56,17 @@ def create_mesh(config: MeshConfig = MeshConfig(), devices: Optional[Sequence] =
     assert data * config.fsdp * config.tensor == n, (
         f"mesh {data}x{config.fsdp}x{config.tensor} != {n} devices"
     )
-    dev_array = np.asarray(devices).reshape(data, config.fsdp, config.tensor)
+    shape = (data, config.fsdp, config.tensor)
+    # topology-aware placement: on a real TPU slice the device ORDER decides
+    # whether the tensor/fsdp collectives ride ICI or hop DCN. mesh_utils
+    # lays the fastest-varying axes (tensor, fsdp) along physically adjacent
+    # chips; a plain reshape of jax.devices() does not.
+    try:
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_device_mesh(shape, devices=devices)
+    except Exception:  # odd shapes/backends: fall back to enumeration order
+        dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, AXES)
 
 
