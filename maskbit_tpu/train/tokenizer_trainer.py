@@ -119,6 +119,9 @@ def make_tokenizer_train_step(
     """
     ema_kwargs = dict(ema_kwargs or {})
     use_adaptive = loss_cfg.discriminator_gradient_penalty == "adopt_weight"
+    from maskbit_tpu.nn.discriminator import NLayerDiscriminatorv2
+
+    batch_disc_passes = isinstance(discriminator, NLayerDiscriminatorv2)
 
     def perceptual_fn(perceptual_vars, a, b):
         if perceptual_apply is None:
@@ -193,10 +196,24 @@ def make_tokenizer_train_step(
         # ---- discriminator pass (gated by discriminator_start) --------------
         def disc_update(_):
             def disc_loss_fn(disc_params):
-                logits_real = discriminator.apply({"params": disc_params}, images)
-                logits_fake = discriminator.apply(
-                    {"params": disc_params}, lax.stop_gradient(reconstructions)
-                )
+                if batch_disc_passes:
+                    # GroupNorm discriminator normalizes per sample, so one
+                    # concat pass == two passes exactly — and the 2b batch
+                    # halves launch count and feeds the MXU better. (The
+                    # BatchNorm 'Original' disc must keep separate passes:
+                    # its train-mode batch stats differ, reference parity.)
+                    both = discriminator.apply(
+                        {"params": disc_params},
+                        jnp.concatenate(
+                            [images, lax.stop_gradient(reconstructions)], axis=0
+                        ),
+                    )
+                    logits_real, logits_fake = jnp.split(both, 2, axis=0)
+                else:
+                    logits_real = discriminator.apply({"params": disc_params}, images)
+                    logits_fake = discriminator.apply(
+                        {"params": disc_params}, lax.stop_gradient(reconstructions)
+                    )
                 from maskbit_tpu.losses.vqgan import discriminator_loss as d_loss_fn
 
                 loss, d_dict, new_lecam = d_loss_fn(

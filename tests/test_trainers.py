@@ -166,3 +166,21 @@ def test_gradient_accumulation_updates_every_k_steps():
     state, _ = step_fn(state, tokens, labels, jax.random.key(2))
     changed = jax.tree.map(lambda a, b: not np.array_equal(a, np.asarray(b)), p0, state.params)
     assert any(jax.tree.leaves(changed)), "params must update after k microsteps"
+
+
+def test_v2_discriminator_concat_pass_identity(rng):
+    """The batched real+fake discriminator pass (train/tokenizer_trainer.py)
+    relies on GroupNorm being per-sample: D(concat(a, b)) == concat(D(a),
+    D(b)) exactly for NLayerDiscriminatorv2."""
+    import jax
+    import jax.numpy as jnp
+
+    from maskbit_tpu.nn.discriminator import NLayerDiscriminatorv2
+
+    disc = NLayerDiscriminatorv2(num_stages=2, hidden_channels=32, blur_resample=True)
+    a = jnp.asarray(rng.uniform(size=(3, 64, 64, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(size=(3, 64, 64, 3)).astype(np.float32))
+    variables = disc.init(jax.random.key(0), a)
+    both = disc.apply(variables, jnp.concatenate([a, b], axis=0))
+    sep = jnp.concatenate([disc.apply(variables, a), disc.apply(variables, b)], axis=0)
+    np.testing.assert_array_equal(np.asarray(both), np.asarray(sep))
