@@ -4,7 +4,7 @@ BASELINE.json config 3 task: MaskBit-Generator 10-bit, 64-step sampling
 with CFG — the flagship inference path (reference
 modeling/modules/sampling.py:13-136 driven by scripts/eval_maskbit.py,
 which samples in batches of 100). Batch is a serving choice; this bench
-runs the measured throughput-optimal batch for one v5e chip (32 — see
+runs the measured throughput-optimal batch for one v5e chip (24 — see
 BENCHMARKS.md for the batch sweep).
 
 The whole sampling loop (64 transformer steps with doubled-batch CFG +
@@ -12,8 +12,10 @@ Gumbel-confidence re-masking + final LFQ bit-unpack + conv decode) runs as
 ONE jit'd XLA program; weights are random (throughput only).
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
-`vs_baseline` compares against bench_baseline.json (the first recorded run
-on this hardware); 1.0 on the run that creates the file.
+`vs_baseline` compares against bench_baseline.json — the FIRST recorded
+run on this hardware (round 1: f32 weights, batch 8). Each round runs the
+current best serving configuration, so the ratio is the framework's
+cumulative throughput trend, not a fixed-config A/B.
 """
 
 import json

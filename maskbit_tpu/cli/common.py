@@ -229,9 +229,14 @@ def build_perceptual(config: Config, logger):
         lin_path = os.environ.get("MASKBIT_LPIPS_WEIGHTS", bundled_lin_weights_path())
         vgg_path = os.environ.get("MASKBIT_VGG16_WEIGHTS", "")
         if not (os.path.exists(lin_path) and os.path.exists(vgg_path)):
+            missing = []
+            if not os.path.exists(lin_path):
+                missing.append(f"MASKBIT_LPIPS_WEIGHTS={lin_path!r}")
+            if not os.path.exists(vgg_path):
+                missing.append(f"MASKBIT_VGG16_WEIGHTS={vgg_path!r}")
             logger.warning(
-                "LPIPS VGG16 backbone weights unavailable "
-                "(MASKBIT_VGG16_WEIGHTS); disabling perceptual loss."
+                f"LPIPS weights unavailable ({', '.join(missing)}); "
+                "disabling perceptual loss."
             )
             return None, None
         module = LPIPS()
@@ -239,6 +244,74 @@ def build_perceptual(config: Config, logger):
         return (lambda v, a, b: module.apply(v, a, b)), variables
 
     raise ValueError(f"Perception loss {name} is not supported.")
+
+
+def load_generation_models(config, logger, fallback: str = "random",
+                           cast_weights: bool = False):
+    """Shared checkpoint-or-smoke loading for the generation entry points
+    (eval_maskbit / serve): returns
+    (tokenizer, generator, tok_vars, gen_vars, sampling_cfg, res, dtype).
+
+    fallback: 'random' = real init (meaningful smoke metrics, fast to
+    compile at test scale); 'zeros' = shape-only init (a full-size init's
+    several hundred samplers take minutes to compile over the TPU relay).
+    cast_weights: store weights in the compute dtype (serving: halves the
+    weight HBM traffic; eval keeps f32 storage for metric fidelity).
+    """
+    import jax
+
+    from maskbit_tpu.core.checkpoint import load_pretrained
+    from maskbit_tpu.models.generator import make_generator
+    from maskbit_tpu.models.tokenizer import ConvVQModel
+    from maskbit_tpu.sampling.sample import SamplingConfig
+
+    vq_cfg = config.model.vq_model
+    mlm_cfg = config.model.mlm_model
+    dtype = jnp.bfloat16 if config.select("training.mixed_precision", "bf16") in (
+        "bf16", "bfloat16") else jnp.float32
+
+    tokenizer = ConvVQModel.from_config(vq_cfg, dtype=dtype)
+    generator = make_generator(
+        mlm_cfg.get("model_cls", "lfq_bert"), mlm_cfg, vq_cfg, dtype=dtype
+    )
+    res = config.select("dataset.preprocessing.resolution", 256)
+
+    def init_or_zeros(init_fn, *args):
+        if fallback == "zeros":
+            shapes = jax.eval_shape(init_fn, jax.random.key(0), *args)
+            return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        return init_fn(jax.random.key(0), *args)
+
+    tok_path = config.select("experiment.vqgan_checkpoint", "")
+    gen_path = config.select("experiment.generator_checkpoint", "")
+    if tok_path and os.path.exists(tok_path):
+        tok_vars = load_pretrained(tok_path)
+    else:
+        logger.warning(
+            f"tokenizer checkpoint missing — {fallback.upper()} weights (smoke mode)"
+        )
+        tok_vars = init_or_zeros(tokenizer.init, jnp.zeros((1, res, res, 3)))
+    if gen_path and os.path.exists(gen_path):
+        gen_vars = load_pretrained(gen_path)
+    else:
+        logger.warning(
+            f"generator checkpoint missing — {fallback.upper()} weights (smoke mode)"
+        )
+        gen_vars = init_or_zeros(
+            generator.init,
+            jnp.zeros((1, generator.seq_len, generator.codebook_splits), jnp.int32),
+            jnp.zeros((1,), jnp.int32),
+        )
+    if cast_weights and dtype != jnp.float32:
+        cast = lambda t: jax.tree.map(
+            lambda x: x.astype(dtype)
+            if getattr(x, "dtype", None) == jnp.float32 else x, t)
+        gen_vars, tok_vars = cast(gen_vars), cast(tok_vars)
+
+    sampling_cfg = SamplingConfig.from_config(mlm_cfg, vq_cfg)._replace(
+        patch_size=res // 2 ** (vq_cfg.get("num_resolutions", 5) - 1)
+    )
+    return tokenizer, generator, tok_vars, gen_vars, sampling_cfg, res, dtype
 
 
 class ProfilerHook:

@@ -24,12 +24,9 @@ import numpy as np
 
 from maskbit_tpu.cli.common import setup_experiment, validate_generator_config
 from maskbit_tpu.cli.eval_tokenizer import make_inception_fn
-from maskbit_tpu.core.checkpoint import load_pretrained
 from maskbit_tpu.core.config import config_from_cli
 from maskbit_tpu.eval.adm import AdmMomentAccumulator, Evaluator
-from maskbit_tpu.models.generator import make_generator
-from maskbit_tpu.models.tokenizer import ConvVQModel
-from maskbit_tpu.sampling.sample import SamplingConfig, make_sampler
+from maskbit_tpu.sampling.sample import make_sampler
 
 
 def main(argv=None):
@@ -40,32 +37,10 @@ def main(argv=None):
 
     vq_cfg = config.model.vq_model
     mlm_cfg = config.model.mlm_model
-    dtype = jnp.bfloat16 if config.select("training.mixed_precision", "bf16") in (
-        "bf16", "bfloat16") else jnp.float32
+    from maskbit_tpu.cli.common import load_generation_models
 
-    tokenizer = ConvVQModel.from_config(vq_cfg, dtype=dtype)
-    generator = make_generator(mlm_cfg.get("model_cls", "lfq_bert"), mlm_cfg, vq_cfg, dtype=dtype)
-
-    res = config.select("dataset.preprocessing.resolution", 256)
-    tok_path = config.select("experiment.vqgan_checkpoint", "")
-    gen_path = config.select("experiment.generator_checkpoint", "")
-    if tok_path and os.path.exists(tok_path):
-        tok_vars = load_pretrained(tok_path)
-    else:
-        logger.warning("tokenizer checkpoint missing — RANDOM weights (smoke mode)")
-        tok_vars = tokenizer.init(jax.random.key(0), jnp.zeros((1, res, res, 3)))
-    if gen_path and os.path.exists(gen_path):
-        gen_vars = load_pretrained(gen_path)
-    else:
-        logger.warning("generator checkpoint missing — RANDOM weights (smoke mode)")
-        gen_vars = generator.init(
-            jax.random.key(1),
-            jnp.zeros((1, generator.seq_len, generator.codebook_splits), jnp.int32),
-            jnp.zeros((1,), jnp.int32),
-        )
-
-    sampling_cfg = SamplingConfig.from_config(mlm_cfg, vq_cfg)._replace(
-        patch_size=res // 2 ** (vq_cfg.get("num_resolutions", 5) - 1)
+    tokenizer, generator, tok_vars, gen_vars, sampling_cfg, res, _ = (
+        load_generation_models(config, logger)
     )
     mesh = ctx["mesh"]
     if jax.process_count() > 1:
@@ -76,7 +51,11 @@ def main(argv=None):
         # scripts/eval_maskbit.py:34-56.
         from maskbit_tpu.parallel.mesh import MeshConfig, local_mesh
 
-        mesh = local_mesh(MeshConfig())
+        # keep the configured fsdp/tensor axes (they must divide the
+        # per-host device count); only the data axis shrinks to local devices
+        cfg_mesh = MeshConfig.from_config(config)
+        mesh = local_mesh(MeshConfig(data=-1, fsdp=cfg_mesh.fsdp,
+                                     tensor=cfg_mesh.tensor))
     batch_size = int(config.select("eval.batch_size", 100))
     data_shards = mesh.shape["data"] * mesh.shape["fsdp"]
     if data_shards > 1 and batch_size % data_shards == 0:

@@ -42,61 +42,24 @@ class GeneratorService:
     """Owns the compiled sampler; thread-safe generate()."""
 
     def __init__(self, config):
-        import os
-
-        from maskbit_tpu.cli.common import validate_generator_config
-        from maskbit_tpu.core.checkpoint import load_pretrained
-        from maskbit_tpu.models.generator import make_generator
-        from maskbit_tpu.models.tokenizer import ConvVQModel
-        from maskbit_tpu.sampling.sample import SamplingConfig, make_sampler
+        from maskbit_tpu.cli.common import (
+            load_generation_models,
+            validate_generator_config,
+        )
+        from maskbit_tpu.sampling.sample import make_sampler
         from maskbit_tpu.utils.logger import setup_logger
 
         validate_generator_config(config)
         self.logger = setup_logger(name="maskbit_serve")
-        vq_cfg = config.model.vq_model
-        mlm_cfg = config.model.mlm_model
-        dtype = jnp.bfloat16 if config.select("training.mixed_precision", "bf16") in (
-            "bf16", "bfloat16") else jnp.float32
-
-        tokenizer = ConvVQModel.from_config(vq_cfg, dtype=dtype)
-        generator = make_generator(
-            mlm_cfg.get("model_cls", "lfq_bert"), mlm_cfg, vq_cfg, dtype=dtype
-        )
-        res = config.select("dataset.preprocessing.resolution", 256)
-
-        tok_path = config.select("experiment.vqgan_checkpoint", "")
-        gen_path = config.select("experiment.generator_checkpoint", "")
-        def shape_only(init_fn, *args):
-            # smoke fallback: compiling the real init's 300+ truncated-normal
-            # samplers over the relay takes minutes; a serving smoke test only
-            # needs correctly-shaped params
-            shapes = jax.eval_shape(init_fn, jax.random.key(0), *args)
-            return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-
-        if tok_path and os.path.exists(tok_path):
-            self.tok_vars = load_pretrained(tok_path)
-        else:
-            self.logger.warning("tokenizer checkpoint missing — ZERO weights (smoke mode)")
-            self.tok_vars = shape_only(tokenizer.init, jnp.zeros((1, res, res, 3)))
-        if gen_path and os.path.exists(gen_path):
-            self.gen_vars = load_pretrained(gen_path)
-        else:
-            self.logger.warning("generator checkpoint missing — ZERO weights (smoke mode)")
-            self.gen_vars = shape_only(
-                generator.init,
-                jnp.zeros((1, generator.seq_len, generator.codebook_splits), jnp.int32),
-                jnp.zeros((1,), jnp.int32),
-            )
-        if dtype == jnp.bfloat16:
-            cast = lambda t: jax.tree.map(
-                lambda x: x.astype(jnp.bfloat16)
-                if getattr(x, "dtype", None) == jnp.float32 else x, t)
-            self.gen_vars, self.tok_vars = cast(self.gen_vars), cast(self.tok_vars)
-
-        sampling_cfg = SamplingConfig.from_config(mlm_cfg, vq_cfg)._replace(
-            patch_size=res // 2 ** (vq_cfg.get("num_resolutions", 5) - 1)
+        # shared loader (cli/common.py). fallback='zeros': a full-size real
+        # init's several hundred samplers take minutes to compile over the
+        # relay; cast_weights halves the serving weight HBM traffic.
+        tokenizer, generator, self.tok_vars, self.gen_vars, sampling_cfg, _, _ = (
+            load_generation_models(config, self.logger, fallback="zeros",
+                                   cast_weights=True)
         )
         self.batch = int(config.select("serve.batch_size", 24))
+        self.nclass = int(config.model.mlm_model.get("nclass", 1000))
         self._sampler = make_sampler(generator, tokenizer, sampling_cfg, jit=True)
         self._lock = threading.Lock()
         self.warm = False
@@ -115,8 +78,8 @@ class GeneratorService:
         labels = np.asarray(labels, np.int32)
         if labels.ndim != 1 or len(labels) == 0:
             raise ValueError("labels must be a non-empty 1-D int list")
-        if labels.min() < 0 or labels.max() >= 1000:
-            raise ValueError("labels must be in [0, 1000)")
+        if labels.min() < 0 or labels.max() >= self.nclass:
+            raise ValueError(f"labels must be in [0, {self.nclass})")
         seed = self._default_seed if seed is None else int(seed)
         out = []
         with self._lock:  # one compiled program, one device stream

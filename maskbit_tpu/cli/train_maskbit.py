@@ -129,13 +129,24 @@ def main(argv=None):
         from maskbit_tpu.utils.params import summarize_params
 
         logger.info(summarize_params(state.params, "generator"))
+        # place the state on the mesh: params/opt/EMA follow the partition
+        # rules (replicated under pure DP; sharded under fsdp/tensor axes)
+        from maskbit_tpu.parallel.mesh import shard_train_state
+
+        state = shard_train_state(state, mesh)
+
         ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"), max_to_keep=3)
         global_step = 0
         if config.select("experiment.resume", True):
-            restored = ckpt.restore_latest(jax.tree.map(np.asarray, state))
+            # pod-resume: the template carries each leaf's NamedSharding, so
+            # every host restores only its shards, already placed
+            template = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+                state,
+            )
+            restored = ckpt.restore_latest(template)
             if restored is not None:
                 state, global_step = restored
-                state = jax.tree.map(jnp.asarray, state)
                 # reference resume opt-outs (train_maskbit.py:313-332)
                 if not config.select("experiment.resume_lr_scheduler", True):
                     from maskbit_tpu.cli.common import reset_optimizer_counts

@@ -32,28 +32,47 @@ class CheckpointManager:
         os.makedirs(self.directory, exist_ok=True)
         options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True)
         self._manager = ocp.CheckpointManager(self.directory, options=options)
+        self._pending_meta: Optional[Tuple[int, dict]] = None
 
     def save(self, step: int, state: Any, metadata: Optional[dict] = None,
              blocking: bool = False) -> None:
         """Save the train state. Async by default: device->host transfer
         happens now, the disk write overlaps with subsequent train steps
         (pod-scale saves must not block the step loop); the next save/restore
-        /close waits for completion. Pass blocking=True to wait here."""
+        /close waits for completion. Pass blocking=True to wait here.
+
+        metadata-{step}.json is written only AFTER the Orbax step commits
+        (at the next wait/save/restore/close) and only by process 0 — a
+        crash mid-write must not leave metadata for a step that never
+        committed, and pod hosts must not race on one file."""
+        self._manager.wait_until_finished()
+        self._flush_metadata()
         self._manager.save(step, args=ocp.args.StandardSave(state))
-        if blocking:
-            self._manager.wait_until_finished()
         meta = {"global_step": int(step)}
         if metadata:
             meta.update(metadata)
-        with open(os.path.join(self.directory, f"metadata-{step}.json"), "w") as f:
-            json.dump(meta, f)
+        self._pending_meta = (step, meta)
+        if blocking:
+            self._manager.wait_until_finished()
+            self._flush_metadata()
+
+    def _flush_metadata(self) -> None:
+        if self._pending_meta is None:
+            return
+        step, meta = self._pending_meta
+        self._pending_meta = None
+        if jax.process_index() == 0:
+            with open(os.path.join(self.directory, f"metadata-{step}.json"), "w") as f:
+                json.dump(meta, f)
 
     def wait(self) -> None:
         """Block until any in-flight async save has committed."""
         self._manager.wait_until_finished()
+        self._flush_metadata()
 
     def latest_step(self) -> Optional[int]:
         self._manager.wait_until_finished()
+        self._flush_metadata()
         return self._manager.latest_step()
 
     def restore_latest(self, abstract_state: Any) -> Optional[Tuple[Any, int]]:
@@ -70,6 +89,8 @@ class CheckpointManager:
         return restored, step
 
     def close(self):
+        self._manager.wait_until_finished()
+        self._flush_metadata()
         self._manager.close()
 
 

@@ -65,7 +65,15 @@ def create_mesh(config: MeshConfig = MeshConfig(), devices: Optional[Sequence] =
         from jax.experimental import mesh_utils
 
         dev_array = mesh_utils.create_device_mesh(shape, devices=devices)
-    except Exception:  # odd shapes/backends: fall back to enumeration order
+    except (ValueError, NotImplementedError, AssertionError) as e:
+        # odd shapes/backends: fall back to enumeration order — visibly,
+        # because on a pod this ordering can route collectives over DCN
+        import logging
+
+        logging.getLogger("maskbit_tpu").warning(
+            f"mesh_utils.create_device_mesh failed for {shape} ({e!r}); "
+            "falling back to device enumeration order (may be ICI-suboptimal)"
+        )
         dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, AXES)
 
@@ -146,6 +154,20 @@ def shard_params(params, mesh: Mesh):
     """Device-put a parameter tree according to the partitioning rules."""
     shardings = param_shardings(params, mesh)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def shard_train_state(state, mesh: Mesh):
+    """Device-put a FULL train state onto the mesh: parameter-shaped leaves
+    follow _PARAM_RULES (optimizer moments and EMA mirror the param tree's
+    paths, so they inherit the same placement — ZeRO-style), scalars and
+    unmatched leaves replicate. Under the default pure-DP mesh everything
+    replicates; with fsdp/tensor axes this is what makes a big model fit.
+
+    The returned leaves carry NamedShardings, which is also what makes the
+    pod-resume template (core/checkpoint.abstract_sharded semantics) exact:
+    `jax.tree.map(lambda x: ShapeDtypeStruct(x.shape, x.dtype,
+    sharding=x.sharding), state)`."""
+    return shard_params(state, mesh)
 
 
 def local_mesh(config: MeshConfig = MeshConfig()) -> Mesh:

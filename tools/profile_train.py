@@ -70,7 +70,7 @@ def stage_one():
         codebook_size=2**bits, quantizer_type="lookup-free",
         entropy_loss_weight=0.02, sample_with_conv=True, dtype=jnp.bfloat16,
     )
-    disc = create_discriminator({"discriminator_type": "v2"}, dtype=jnp.bfloat16)
+    disc = create_discriminator({"name": "VQGAN+Discriminator"}, dtype=jnp.bfloat16)
     loss_cfg = VQGANLossConfig(
         discriminator_start=0, discriminator_weight=0.1, perceptual_weight=0.0,
         perceptual_loss="none", reconstruction_weight=1.0,
