@@ -14,6 +14,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+from maskbit_tpu.ops.activations import gelu_erf
+
 Dtype = Any
 
 DEPTHS = (3, 3, 27, 3)
@@ -32,7 +34,9 @@ class CNBlock(nn.Module):
                     feature_group_count=self.dim, dtype=self.dtype, name="dwconv")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
         x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pw1")(x)
-        x = nn.gelu(x, approximate=False)
+        # fusable exact gelu — lax.erf breaks matmul-epilogue fusion on
+        # TPU (ops/activations.py); this runs inside the Stage-I loss
+        x = gelu_erf(x)
         x = nn.Dense(self.dim, dtype=self.dtype, name="pw2")(x)
         gamma = self.param("layer_scale", nn.initializers.constant(1e-6), (self.dim,))
         return residual + x * gamma.astype(self.dtype)
