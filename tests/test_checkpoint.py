@@ -147,3 +147,17 @@ def test_sharded_restore_on_mesh(tmp_path):
         for r, s, sh in zip(flat_r, flat_s, flat_sh):
             assert r.sharding == sh, (r.sharding, sh)
             np.testing.assert_array_equal(np.asarray(r), np.asarray(s))
+
+
+def test_metadata_written_only_after_commit(tmp_path):
+    """metadata-{step}.json must not exist before the async save commits
+    (crash mid-write must never leave metadata for an uncommitted step)."""
+    ckpt = CheckpointManager(str(tmp_path / "ckpts"))
+    ckpt.save(5, {"params": _tree(5)})
+    meta = tmp_path / "ckpts" / "metadata-5.json"
+    # the pending write flushes exactly at the next fence
+    ckpt.wait()
+    assert meta.exists()
+    import json as _json
+
+    assert _json.load(open(meta))["global_step"] == 5
