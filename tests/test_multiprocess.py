@@ -241,3 +241,107 @@ def test_eval_cli_two_processes(tmp_path):
         assert np.isfinite(r["InceptionScore"]) and r["InceptionScore"] >= 1.0
     # the merged moments are global: every host must report the same numbers
     assert results[0] == results[1]
+
+
+def test_eval_tokenizer_cli_two_processes(tmp_path):
+    """The full eval_tokenizer CLI under 2-process jax.distributed: hosts
+    evaluate DISJOINT tar-shard splits, accumulators merge across hosts, and
+    the merged metrics equal a single-process run over the whole eval set
+    (weights pinned via a saved checkpoint)."""
+    import io
+
+    import numpy as np
+    import yaml
+    from PIL import Image
+
+    # 4 eval shards of deterministic JPEGs
+    rng = np.random.default_rng(0)
+    shard_dir = tmp_path / "eval_shards"
+    shard_dir.mkdir()
+    import tarfile
+
+    idx = 0
+    for s in range(4):
+        with tarfile.open(shard_dir / f"val-{s:04d}.tar", "w") as tar:
+            for _ in range(6):
+                arr = rng.integers(0, 255, size=(48, 40, 3), dtype=np.uint8)
+                buf = io.BytesIO()
+                Image.fromarray(arr).save(buf, format="JPEG")
+                data = buf.getvalue()
+                for ext, payload in (("jpg", data), ("cls", str(idx % 5).encode())):
+                    info = tarfile.TarInfo(f"{idx:06d}.{ext}")
+                    info.size = len(payload)
+                    tar.addfile(info, io.BytesIO(payload))
+                idx += 1
+
+    # pin the tokenizer weights so all runs are numerically identical
+    from test_cli_eval_demo import TINY_VQ
+
+    import jax
+    import jax.numpy as jnp
+
+    from maskbit_tpu.core.checkpoint import save_pretrained
+    from maskbit_tpu.models.tokenizer import ConvVQModel
+
+    model = ConvVQModel.from_config(TINY_VQ)
+    variables = model.init(jax.random.key(3), jnp.zeros((1, 32, 32, 3)))
+    ckpt_path = tmp_path / "tok.msgpack"
+    save_pretrained(variables, str(ckpt_path))
+
+    cfg = {
+        "experiment": {"name": "mp_evaltok", "logger": "jsonl", "resume": False,
+                       "vqgan_checkpoint": str(ckpt_path), "max_train_examples": 24},
+        "model": {"vq_model": TINY_VQ},
+        "dataset": {
+            "params": {"train_shards_path_or_url": "/nonexistent/{0000..0001}.tar",
+                       "eval_shards_path_or_url": str(shard_dir / "val-{0000..0003}.tar")},
+            "preprocessing": {"resolution": 32, "use_aspect_ratio_aug": False,
+                              "use_random_crop": False, "min_scale": 0.8,
+                              "interpolation": "bilinear"},
+        },
+        "training": {"per_device_batch_size": 2, "mixed_precision": "no", "seed": 0},
+    }
+    config_path = tmp_path / "mp_evaltok.yaml"
+    config_path.write_text(yaml.safe_dump(cfg))
+
+    # single-process truth over ALL shards (this pytest process)
+    import os as _os
+
+    from maskbit_tpu.cli.eval_tokenizer import main as eval_main
+
+    _os.environ["WORKSPACE"] = str(tmp_path / "truth_ws")
+    truth = dict(eval_main([f"config={config_path}"]))
+
+    workspace = tmp_path / "ws"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    env.pop("WORKSPACE", None)
+    port = _free_port()
+    worker = os.path.join(REPO, "tests", "multiprocess_eval_tok_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), str(NPROC), str(port),
+             str(workspace), str(config_path)],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(NPROC)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"eval_tokenizer worker {pid} failed:\n{out[-6000:]}"
+
+    results = []
+    for pid in range(NPROC):
+        with open(workspace / f"evaltok_result_{pid}.json") as f:
+            results.append(json.load(f)["results"])
+    assert results[0] == results[1]  # merged accumulators are global
+    assert set(results[0]) == set(truth)
+    for k, v in truth.items():
+        # the f64 cross-host merge is bit-exact (results[0]==results[1]),
+        # but truth ran at a different batch size: XLA's f32 convs round
+        # differently per batch shape and LFQ's sign() flips bits for
+        # near-zero latents, perturbing reconstructions slightly — hence a
+        # 1% band, not equality
+        assert abs(results[0][k] - v) <= 1e-2 * max(1.0, abs(v)), (k, results[0][k], v)
