@@ -178,3 +178,19 @@ def test_eval_tokenizer_maskgit_variant(tmp_path, monkeypatch):
     })
     results = main([f"config={cfg}"])
     assert "CodebookUsage" in results
+
+
+def test_eval_maskbit_cli_sharded_sampler(tmp_path, monkeypatch):
+    """eval batch divisible by the data-axis size -> the mesh-sharded
+    sampler path (sampling/serve.py) drives generation on all 8 devices."""
+    import maskbit_tpu.cli.eval_maskbit as em
+
+    monkeypatch.setenv("WORKSPACE", str(tmp_path / "ws"))
+    cfg = _cfg(tmp_path, "eval_gen_sharded", {
+        "model.mlm_model": TINY_MLM,
+        "eval.total_samples": 8,
+        "eval.batch_size": 8,  # divisible by the 8-device data axis
+        "experiment.generator_checkpoint": "",
+    })
+    results = em.main([f"config={cfg}"])
+    assert results == {}  # no inception weights: sampling ran, metrics skipped
