@@ -79,7 +79,11 @@ def iterate_tar_samples(path: str) -> Iterator[Dict[str, bytes]]:
             yield dict(sample, __key__=current_key.encode())
 
 
-def _decode_sample(sample: Dict[str, bytes], transform: Callable) -> Optional[Tuple[np.ndarray, int]]:
+def _decode_sample(
+    sample: Dict[str, bytes],
+    transform: Callable,
+    sample_seed: Optional[str] = None,
+) -> Optional[Tuple[np.ndarray, int]]:
     img_bytes = None
     for ext in ("jpg", "jpeg", "png", "webp"):
         if ext in sample:
@@ -89,6 +93,12 @@ def _decode_sample(sample: Dict[str, bytes], transform: Callable) -> Optional[Tu
         return None
     label = int(sample["cls"].decode()) if "cls" in sample else -1
     img = Image.open(io.BytesIO(img_bytes))
+    if sample_seed is not None and hasattr(transform, "rng"):
+        # per-sample rng: augmentation is a pure function of (seed, process,
+        # sample index) — the decode stream is bit-identical across the
+        # serial/thread/process backends and across runs (determinism
+        # contract, SURVEY §5)
+        return transform(img, rng=random.Random(sample_seed)), label
     return transform(img), label
 
 
@@ -99,20 +109,18 @@ def _decode_sample(sample: Dict[str, bytes], transform: Callable) -> Optional[Tu
 _WORKER_TRANSFORM: Optional[Callable] = None
 
 
-def _decode_pool_init(transform: Callable, seed: int) -> None:
+def _decode_pool_init(transform: Callable) -> None:
     """Initializer for decode worker processes: bind the transform once per
-    worker (instead of pickling it per sample) and decorrelate its augment
-    rng across workers."""
+    worker (instead of pickling it per sample). Augment randomness comes from
+    the per-sample seed shipped with each work item, NOT worker identity, so
+    streams are reproducible regardless of how work lands on workers."""
     global _WORKER_TRANSFORM
-    import os as _os
-
-    if transform is not None and hasattr(transform, "rng"):
-        transform.rng = random.Random(f"{seed}-{_os.getpid()}")
     _WORKER_TRANSFORM = transform
 
 
-def _decode_in_worker(sample: Dict[str, bytes]) -> Optional[Tuple[np.ndarray, int]]:
-    return _decode_sample(sample, _WORKER_TRANSFORM)
+def _decode_in_worker(item: Tuple[Dict[str, bytes], Optional[str]]) -> Optional[Tuple[np.ndarray, int]]:
+    sample, sample_seed = item
+    return _decode_sample(sample, _WORKER_TRANSFORM, sample_seed)
 
 
 class ShuffleBuffer:
@@ -188,9 +196,15 @@ class TarImageDataset:
         if self.resample and self.shuffle_buffer_size > 1:
             samples = ShuffleBuffer(self.shuffle_buffer_size, rng)(samples)
 
+        # per-sample augment seed: sample order is deterministic (seeded
+        # shuffle buffer, single-threaded producer), so keying the rng by
+        # stream position makes the decoded stream identical across backends
+        seed_base = f"{self.seed}-{self.process_index}-sample"
+        indexed = ((s, f"{seed_base}-{i}") for i, s in enumerate(samples))
+
         if self.num_decode_threads <= 1:
-            for s in samples:
-                decoded = _decode_sample(s, self.transform)
+            for s, ss in indexed:
+                decoded = _decode_sample(s, self.transform, ss)
                 if decoded is not None:
                     yield decoded
             return
@@ -204,20 +218,20 @@ class TarImageDataset:
                 self.num_decode_threads,
                 mp_context=mp.get_context("spawn"),
                 initializer=_decode_pool_init,
-                initargs=(self.transform, self.seed),
+                initargs=(self.transform,),
             )
-            submit = lambda s: pool.submit(_decode_in_worker, s)
+            submit = lambda item: pool.submit(_decode_in_worker, item)
         else:
             pool = ThreadPoolExecutor(self.num_decode_threads)
-            submit = lambda s: pool.submit(_decode_sample, s, self.transform)
+            submit = lambda item: pool.submit(_decode_sample, item[0], self.transform, item[1])
 
         with pool:
             window = 2 * self.num_decode_threads
             futures: "queue.Queue" = queue.Queue()
-            sample_iter = iter(samples)
+            sample_iter = iter(indexed)
             n_inflight = 0
-            for s in itertools.islice(sample_iter, window):
-                futures.put(submit(s))
+            for item in itertools.islice(sample_iter, window):
+                futures.put(submit(item))
                 n_inflight += 1
             while n_inflight:
                 fut = futures.get()

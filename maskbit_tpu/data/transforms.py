@@ -80,11 +80,17 @@ class TrainTransform:
         self.interp = _INTERPOLATION[interpolation]
         self.rng = random.Random(seed)
 
-    def __call__(self, img: Image.Image) -> np.ndarray:
+    def __call__(self, img: Image.Image, rng: Optional[random.Random] = None) -> np.ndarray:
+        # `rng` overrides the shared instance rng: the data pipeline passes a
+        # per-sample rng derived from (seed, process, sample index) so the
+        # augmentation stream is a pure function of sample position —
+        # identical across serial/thread/process decode backends and across
+        # runs (the shared self.rng is kept for direct/legacy callers).
+        rng = self.rng if rng is None else rng
         img = img.convert("RGB")
         if self.use_random_crop:
             top, left, h, w = random_resized_crop_params(
-                img.height, img.width, (self.min_scale, 1.0), self.ratio, self.rng
+                img.height, img.width, (self.min_scale, 1.0), self.ratio, rng
             )
             img = img.resize(
                 (self.resolution, self.resolution), self.interp,
@@ -93,7 +99,7 @@ class TrainTransform:
         else:
             img = resize_shorter_side(img, self.resolution, self.interp)
             img = center_crop(img, self.resolution)
-        if self.rng.random() < 0.5:
+        if rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         return np.asarray(img, np.float32) / 255.0
 

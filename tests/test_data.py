@@ -172,8 +172,8 @@ def test_process_decode_backend_matches_thread(shard_dir):
 
 
 def test_process_decode_backend_train_path(shard_dir):
-    """Process backend works with the augmenting train transform (per-worker
-    rng reseed) and respects the shuffle-buffer iterator contract."""
+    """Process backend works with the augmenting train transform and respects
+    the shuffle-buffer iterator contract."""
     from maskbit_tpu.data.transforms import TrainTransform
 
     ds = TarImageDataset(
@@ -187,6 +187,31 @@ def test_process_decode_backend_train_path(shard_dir):
     for img, label in items:
         assert img.shape == (32, 32, 3) and img.dtype == np.float32
         assert 0 <= label < 5
+
+
+def test_train_decode_deterministic_across_backends(shard_dir):
+    """Determinism contract (SURVEY §5): with a fixed seed the AUGMENTED
+    train stream is bit-identical across the serial/thread/process decode
+    backends AND across repeated runs — augmentation rng is a pure function
+    of (seed, process, sample index), not of worker identity (the round-2
+    process pool seeded by os.getpid() broke this run-to-run)."""
+    from maskbit_tpu.data.transforms import TrainTransform
+
+    def stream(backend, threads):
+        ds = TarImageDataset(
+            str(shard_dir / "test-{0000..0002}.tar"),
+            TrainTransform(resolution=32, seed=7),
+            resample=True, shuffle_buffer_size=8, seed=3,
+            num_decode_threads=threads, decode_backend=backend,
+        )
+        return list(itertools.islice(iter(ds), 30))
+
+    ref = stream("thread", 1)  # serial path
+    for variant in (stream("thread", 3), stream("process", 2), stream("thread", 1)):
+        assert len(variant) == len(ref)
+        for (img_a, lab_a), (img_b, lab_b) in zip(ref, variant):
+            assert lab_a == lab_b
+            np.testing.assert_array_equal(img_a, img_b)
 
 
 def test_decode_backend_validation(shard_dir):
