@@ -112,20 +112,6 @@ def main(argv=None):
             ema_kwargs={"decay": 0.9999},
             log_param_grad_norms=0 < log_grad_norm_every <= max_steps,
         )
-        if token_shards:
-            logger.info(f"training from pre-tokenized shards {token_shards}")
-            train_step = jax.jit(
-                make_generator_train_step_from_tokens(
-                    generator, vq_cfg.get("codebook_size", 1024), tx, mlm_loss_cfg,
-                    **step_kwargs,
-                )
-            )
-        else:
-            train_step = jax.jit(
-                make_generator_train_step(generator, tokenizer, tx, mlm_loss_cfg,
-                                          **step_kwargs)
-            )
-
         from maskbit_tpu.utils.params import summarize_params
 
         logger.info(summarize_params(state.params, "generator"))
@@ -134,6 +120,30 @@ def main(argv=None):
         from maskbit_tpu.parallel.mesh import shard_train_state
 
         state = shard_train_state(state, mesh)
+
+        # donate_argnums=0 on both variants: alias the old train state into
+        # the new one instead of holding both (~10 GB at flagship Stage-II);
+        # out_shardings pins the new state to the input placement so the
+        # aliasing holds and the sharding doesn't drift after step 1.
+        # ckpt.save's device->host copy is eager, so no reader can observe a
+        # donated buffer.
+        state_shardings = jax.tree.map(lambda x: x.sharding, state)
+        donate_kwargs = dict(donate_argnums=0, out_shardings=(state_shardings, None))
+        if token_shards:
+            logger.info(f"training from pre-tokenized shards {token_shards}")
+            train_step = jax.jit(
+                make_generator_train_step_from_tokens(
+                    generator, vq_cfg.get("codebook_size", 1024), tx, mlm_loss_cfg,
+                    **step_kwargs,
+                ),
+                **donate_kwargs,
+            )
+        else:
+            train_step = jax.jit(
+                make_generator_train_step(generator, tokenizer, tx, mlm_loss_cfg,
+                                          **step_kwargs),
+                **donate_kwargs,
+            )
 
         ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"), max_to_keep=3)
         global_step = 0
@@ -188,7 +198,9 @@ def main(argv=None):
         # ~60 ms/step on the 24-layer generator (BENCHMARKS.md round 2);
         # rbg generates in hardware at no measurable cost.
         rng_step = jax.random.key(ctx["seed"] + 1, impl="rbg")
+        from maskbit_tpu.cli.common import GracefulShutdown
 
+        shutdown = GracefulShutdown(logger)
         while global_step < max_steps:
             batch = next(train_iter)
             timer.data_tick()
@@ -203,6 +215,11 @@ def main(argv=None):
                 state, metrics = train_step(state, tokenizer_vars, images, labels, sub)
             global_step += 1
             timer.batch_tick()
+
+            if shutdown.requested:
+                # preemption: fall through to the final blocking save below
+                logger.warning(f"preemption: stopping cleanly at step {global_step}")
+                break
 
             viz_payload = {k: metrics[k] for k in list(metrics) if k.startswith("_")}
             metrics = {k: v for k, v in metrics.items() if not k.startswith("_")}

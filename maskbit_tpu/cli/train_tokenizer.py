@@ -129,15 +129,6 @@ def main(argv=None):
 
         logger.info(summarize_params(state.gen_params, "tokenizer"))
         logger.info(summarize_params(state.disc_params, "discriminator"))
-        train_step = jax.jit(
-            make_tokenizer_train_step(
-                model, discriminator, gen_tx, disc_tx, loss_cfg,
-                perceptual_apply=perceptual_apply,
-                ema_kwargs={"decay": 0.999},
-                log_param_grad_norms=0 < log_grad_norm_every <= max_steps,
-            )
-        )
-
         # warm-start from a bare weights file (reference experiment.init_checkpoint)
         init_ckpt = config.select("experiment.init_checkpoint", "")
         if init_ckpt and os.path.exists(init_ckpt):
@@ -157,6 +148,26 @@ def main(argv=None):
         from maskbit_tpu.parallel.mesh import shard_train_state
 
         state = shard_train_state(state, mesh)
+
+        # donate_argnums=0: the old train state's buffers are reused for the
+        # new state — without it every step holds old+new params+opt+EMA
+        # simultaneously (~2x state HBM; the 512px/b16 OOM of ROADMAP #0).
+        # out_shardings pins the new state to the input placement: otherwise
+        # GSPMD may pick different output shardings, which both defeats the
+        # aliasing AND makes the state's sharding drift after step 1.
+        # Safe: ckpt.save copies device->host eagerly (async is disk-only)
+        # and all other readers (viz/eval/save) fetch before the next step.
+        state_shardings = jax.tree.map(lambda x: x.sharding, state)
+        train_step = jax.jit(
+            make_tokenizer_train_step(
+                model, discriminator, gen_tx, disc_tx, loss_cfg,
+                perceptual_apply=perceptual_apply,
+                ema_kwargs={"decay": 0.999},
+                log_param_grad_norms=0 < log_grad_norm_every <= max_steps,
+            ),
+            donate_argnums=0,
+            out_shardings=(state_shardings, None),
+        )
 
         ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"), max_to_keep=3)
         global_step = 0
@@ -213,7 +224,9 @@ def main(argv=None):
         # ~60 ms/step on the 24-layer generator (BENCHMARKS.md round 2);
         # rbg generates in hardware at no measurable cost.
         rng_step = jax.random.key(ctx["seed"] + 1, impl="rbg")
+        from maskbit_tpu.cli.common import GracefulShutdown
 
+        shutdown = GracefulShutdown(logger)
         while global_step < max_steps:
             batch = next(train_iter)
             timer.data_tick()
@@ -223,6 +236,11 @@ def main(argv=None):
             state, metrics = train_step(state, images, perceptual_vars, sub)
             global_step += 1
             timer.batch_tick()
+
+            if shutdown.requested:
+                # preemption: fall through to the final blocking save below
+                logger.warning(f"preemption: stopping cleanly at step {global_step}")
+                break
 
             if log_grad_norm_every and global_step % log_grad_norm_every == 0:
                 norms = {k: float(v) for k, v in jax.device_get(metrics).items()

@@ -22,7 +22,13 @@ class EmaState(NamedTuple):
 
 
 def init_ema(params) -> EmaState:
-    return EmaState(params=jax.tree.map(jnp.asarray, params), step=jnp.zeros((), jnp.int32))
+    # a REAL copy, not jnp.asarray (a no-op on jax arrays): the shadow must
+    # not alias the live params, or the first donated train step
+    # (donate_argnums=0 in the CLIs) would donate the same buffer twice
+    return EmaState(
+        params=jax.tree.map(lambda x: jnp.asarray(x).copy(), params),
+        step=jnp.zeros((), jnp.int32),
+    )
 
 
 def ema_decay(

@@ -31,7 +31,7 @@ DISC = NLayerDiscriminatorv2(num_channels=3, hidden_channels=32, num_stages=1)
 IMG = (4, 32, 32, 3)
 
 
-def build_tokenizer_setup(disc_start=0, use_adaptive=True):
+def build_tokenizer_setup(disc_start=0, use_adaptive=True, donate=False):
     loss_cfg = VQGANLossConfig(
         reconstruction_loss="l2", reconstruction_weight=1.0, quantizer_weight=1.0,
         perceptual_loss="none", perceptual_weight=0.0,
@@ -46,7 +46,8 @@ def build_tokenizer_setup(disc_start=0, use_adaptive=True):
         TOKENIZER, DISC, gen_tx, disc_tx, jax.random.key(0), IMG, use_ema=True
     )
     step_fn = jax.jit(
-        make_tokenizer_train_step(TOKENIZER, DISC, gen_tx, disc_tx, loss_cfg)
+        make_tokenizer_train_step(TOKENIZER, DISC, gen_tx, disc_tx, loss_cfg),
+        donate_argnums=(0,) if donate else (),
     )
     return state, step_fn
 
@@ -166,6 +167,127 @@ def test_gradient_accumulation_updates_every_k_steps():
     state, _ = step_fn(state, tokens, labels, jax.random.key(2))
     changed = jax.tree.map(lambda a, b: not np.array_equal(a, np.asarray(b)), p0, state.params)
     assert any(jax.tree.leaves(changed)), "params must update after k microsteps"
+
+
+def _assert_state_trees_equal(a, b):
+    same = jax.tree.map(
+        lambda x, y: np.array_equal(np.asarray(x), np.asarray(y)), a, b
+    )
+    assert all(jax.tree.leaves(same)), "donated step diverged from reference"
+
+
+def test_tokenizer_step_buffer_donation():
+    """donate_argnums=0 (how the CLIs jit the step): every old-state buffer
+    is actually consumed — no 'donated buffers were not usable' warning, all
+    input leaves deleted — and the numerics are bit-identical to the
+    non-donated step (no aliasing miscompilation). This is what keeps a step
+    from holding old+new params+opt+EMA simultaneously (ROADMAP #0)."""
+    import warnings
+
+    images = jnp.asarray(np.random.default_rng(5).uniform(size=IMG), jnp.float32)
+    state_ref, step_ref = build_tokenizer_setup(disc_start=0)
+    ref_state, _ = step_ref(state_ref, images, None, jax.random.key(0))
+
+    state, step_don = build_tokenizer_setup(disc_start=0, donate=True)
+    old_leaves = jax.tree.leaves(state)
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "error", message=".*[Dd]onated buffers.*"
+        )
+        new_state, _ = step_don(state, images, None, jax.random.key(0))
+        jax.block_until_ready(new_state)
+    assert all(leaf.is_deleted() for leaf in old_leaves), (
+        "donation did not take effect: old state buffers still live"
+    )
+    _assert_state_trees_equal(ref_state, new_state)
+
+
+def test_tokenizer_step_buffer_donation_sharded():
+    """Donation composes with the multi-axis mesh: a state placed by
+    shard_train_state and jit'd with pinned out_shardings (the CLI recipe)
+    is FULLY consumed by the donated step, and the output shardings match
+    the input's (no sharding drift -> no step-2 recompile). Without the
+    out_shardings pin GSPMD re-shards ~10% of the state and those leaves
+    silently escape donation."""
+    import warnings
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from maskbit_tpu.losses.vqgan import VQGANLossConfig
+    from maskbit_tpu.parallel.mesh import shard_train_state
+
+    loss_cfg = VQGANLossConfig(
+        reconstruction_loss="l2", reconstruction_weight=1.0, quantizer_weight=1.0,
+        perceptual_loss="none", perceptual_weight=0.0,
+        discriminator_loss="hinge", discriminator_factor=1.0,
+        discriminator_weight=0.1, discriminator_start=0,
+        discriminator_gradient_penalty="adopt_weight",
+        lecam_regularization_weight=0.001,
+    )
+    gen_tx = make_optimizer(1e-3, max_grad_norm=1.0)
+    disc_tx = make_optimizer(1e-3, max_grad_norm=1.0)
+    mesh = create_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    with mesh:
+        state = init_tokenizer_train_state(
+            TOKENIZER, DISC, gen_tx, disc_tx, jax.random.key(0), IMG, use_ema=True
+        )
+        state = shard_train_state(state, mesh)
+        state_shardings = jax.tree.map(lambda x: x.sharding, state)
+        step_don = jax.jit(
+            make_tokenizer_train_step(TOKENIZER, DISC, gen_tx, disc_tx, loss_cfg),
+            donate_argnums=0,
+            out_shardings=(state_shardings, None),
+        )
+        images = jax.device_put(
+            jnp.asarray(np.random.default_rng(6).uniform(size=(8, 32, 32, 3)),
+                        jnp.float32),
+            batch_sharding(mesh),
+        )
+        old_leaves = jax.tree.leaves(state)
+        with warnings.catch_warnings():
+            warnings.filterwarnings("error", message=".*[Dd]onated buffers.*")
+            new_state, metrics = step_don(state, images, None, jax.random.key(0))
+            jax.block_until_ready(new_state)
+        assert all(leaf.is_deleted() for leaf in old_leaves)
+        assert np.isfinite(float(metrics["total_loss"]))
+        same_sharding = jax.tree.map(
+            lambda s, x: s == x.sharding, state_shardings, new_state
+        )
+        assert all(jax.tree.leaves(same_sharding)), "output shardings drifted"
+
+
+def test_generator_step_buffer_donation():
+    """Same contract for the Stage-II step (cli/train_maskbit jit)."""
+    import warnings
+
+    model = LFQBert(
+        img_size=16, hidden_dim=32, codebook_size=16, codebook_splits=2,
+        depth=1, heads=2, mlp_dim=64, dropout=0.0, nclass=10, input_stride=2,
+    )
+    tx = make_optimizer(1e-3, max_grad_norm=1.0)
+    tok_vars = TOKENIZER.init(jax.random.key(1), jnp.zeros((1, 16, 16, 3)))
+    images = jnp.asarray(
+        np.random.default_rng(7).uniform(size=(4, 16, 16, 3)), jnp.float32
+    )
+    labels = jnp.asarray([0, 1, 2, 3])
+
+    def run(donate):
+        state = init_generator_train_state(model, tx, jax.random.key(0))
+        step_fn = jax.jit(
+            make_generator_train_step(model, TOKENIZER, tx, MLMLossConfig()),
+            donate_argnums=(0,) if donate else (),
+        )
+        old_leaves = jax.tree.leaves(state)
+        with warnings.catch_warnings():
+            warnings.filterwarnings("error", message=".*[Dd]onated buffers.*")
+            new_state, _ = step_fn(state, tok_vars, images, labels, jax.random.key(2))
+            jax.block_until_ready(new_state)
+        return new_state, old_leaves
+
+    ref_state, _ = run(donate=False)
+    new_state, old_leaves = run(donate=True)
+    assert all(leaf.is_deleted() for leaf in old_leaves)
+    _assert_state_trees_equal(ref_state, new_state)
 
 
 def test_v2_discriminator_concat_pass_identity(rng):

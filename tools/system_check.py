@@ -83,7 +83,10 @@ def main():
     state = init_tokenizer_train_state(
         tokenizer, disc, gen_tx, disc_tx, jax.random.key(0), (BATCH, RES, RES, 3)
     )
-    tok_step = jax.jit(make_tokenizer_train_step(tokenizer, disc, gen_tx, disc_tx, loss_cfg))
+    tok_step = jax.jit(
+        make_tokenizer_train_step(tokenizer, disc, gen_tx, disc_tx, loss_cfg),
+        donate_argnums=0,
+    )
 
     print("=== Stage I: tokenizer + GAN ===", flush=True)
     t0 = time.time()
@@ -112,7 +115,7 @@ def main():
     gen_step = jax.jit(make_generator_train_step(
         generator, tokenizer, gtx, MLMLossConfig(), class_label_dropout=0.1,
         ema_kwargs={"decay": 0.995},
-    ))
+    ), donate_argnums=0)
 
     print("=== Stage II: masked generator ===", flush=True)
     t0 = time.time()
