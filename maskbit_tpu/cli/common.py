@@ -346,6 +346,35 @@ class ProfilerHook:
             self._active = False
 
 
+class GracefulShutdown:
+    """Preemption-safe training: catch SIGTERM, let the in-flight step
+    finish, then the train loop writes a final BLOCKING checkpoint and exits
+    cleanly, so resume-latest continues from the exact step.
+
+    TPU pods are preempted with SIGTERM + a grace window; the reference's
+    resume contract (scripts/train_tokenizer.py:298-331) otherwise loses up
+    to `save_every` steps. The handler only sets a flag — all device/IO work
+    happens in the loop thread, outside async-signal context."""
+
+    def __init__(self, logger=None):
+        import signal
+
+        self.requested = False
+        self._logger = logger
+        try:
+            self._prev = signal.signal(signal.SIGTERM, self._handle)
+        except ValueError:  # not in the main thread (e.g. tests): stay inert
+            self._prev = None
+
+    def _handle(self, signum, frame):
+        self.requested = True
+        if self._logger is not None:
+            self._logger.warning(
+                "SIGTERM received — finishing the in-flight step, then "
+                "writing a final checkpoint and exiting"
+            )
+
+
 class StepTimer:
     """samples/sec + data/batch time meters (reference :335-348,442-468)."""
 
