@@ -354,7 +354,14 @@ class GracefulShutdown:
     TPU pods are preempted with SIGTERM + a grace window; the reference's
     resume contract (scripts/train_tokenizer.py:298-331) otherwise loses up
     to `save_every` steps. The handler only sets a flag — all device/IO work
-    happens in the loop thread, outside async-signal context."""
+    happens in the loop thread, outside async-signal context.
+
+    Multi-host: the final checkpoint is a COLLECTIVE Orbax save, so the
+    stop decision must be global — if SIGTERM lands on only some hosts
+    (delivery skew during a preemption), a local decision would deadlock
+    the save against hosts still training. `should_stop()` therefore
+    OR-reduces the local flag across processes (a 1-byte allgather per
+    step; immeasurable next to a train step)."""
 
     def __init__(self, logger=None):
         import signal
@@ -373,6 +380,18 @@ class GracefulShutdown:
                 "SIGTERM received — finishing the in-flight step, then "
                 "writing a final checkpoint and exiting"
             )
+
+    def should_stop(self) -> bool:
+        """Global stop decision: true on EVERY host iff any host was
+        signaled, so all hosts enter the final collective save together."""
+        if jax.process_count() == 1:
+            return self.requested
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray([self.requested], np.int32)
+        )
+        return bool(np.any(flags))
 
 
 class StepTimer:

@@ -219,6 +219,7 @@ def main(argv=None):
         eval_every = config.select("experiment.eval_every", 20_000)
         generate_every = config.select("experiment.generate_every", 2000)
         timer = StepTimer()
+        last_saved = -1
         profiler = ProfilerHook(output_dir, config.select("experiment.profile_steps", ""))
         # rbg: the TPU hardware PRNG. threefry dropout-mask generation costs
         # ~60 ms/step on the 24-layer generator (BENCHMARKS.md round 2);
@@ -237,8 +238,9 @@ def main(argv=None):
             global_step += 1
             timer.batch_tick()
 
-            if shutdown.requested:
-                # preemption: fall through to the final blocking save below
+            if shutdown.should_stop():
+                # preemption (any host): fall through to the final save —
+                # the decision is global so the collective save can't hang
                 logger.warning(f"preemption: stopping cleanly at step {global_step}")
                 break
 
@@ -269,13 +271,15 @@ def main(argv=None):
 
             if global_step % save_every == 0:
                 _save(ckpt, state, model, output_dir, global_step, logger)
+                last_saved = global_step
 
             if global_step % eval_every == 0:
                 results = _eval_reconstruction(model, state, make_eval(), config)
                 tracker.log({f"eval/{k}": v for k, v in results.items()}, global_step)
                 logger.info(f"eval @ {global_step}: {results}")
 
-        _save(ckpt, state, model, output_dir, global_step, logger)
+        if global_step != last_saved:  # avoid a duplicate save at exit
+            _save(ckpt, state, model, output_dir, global_step, logger)
         ckpt.wait()  # commit the final async save before exit
         profiler.close()
         tracker.close()

@@ -186,6 +186,117 @@ def test_train_cli_two_processes(tmp_path):
     assert any(p.startswith("metadata-") for p in os.listdir(out_dir / "checkpoints"))
 
 
+def test_train_cli_sigterm_one_host_stops_all(tmp_path):
+    """Preemption with DELIVERY SKEW: SIGTERM reaches only one of two
+    processes. The stop decision is OR-reduced across hosts every step
+    (GracefulShutdown.should_stop), so BOTH processes enter the final
+    collective Orbax save together and exit cleanly — a host-local decision
+    would deadlock the collective save against the unsignaled host."""
+    import signal
+    import time
+
+    import yaml
+
+    cfg = {
+        "experiment": {"name": "mp_sig", "max_train_examples": 64,
+                       "save_every": 100_000, "eval_every": 100_000,
+                       "generate_every": 100_000, "log_every": 1,
+                       "logger": "jsonl", "resume": True},
+        "model": {
+            "vq_model": {
+                "model_class": "vqgan+", "quantizer_type": "lookup-free",
+                "codebook_size": 16, "token_size": 4, "commitment_cost": 0.25,
+                "entropy_loss_weight": 0.01, "entropy_loss_temperature": 0.01,
+                "entropy_gamma": 1.0, "num_channels": 3, "hidden_channels": 32,
+                "channel_mult": [1, 2], "num_resolutions": 2, "num_res_blocks": 1,
+                "sample_with_conv": True,
+            },
+            "discriminator": {"name": "VQGAN+Discriminator", "num_channels": 3,
+                              "num_stages": 1, "hidden_channels": 32,
+                              "blur_resample": True, "blur_kernel_size": 4},
+        },
+        "losses": {
+            "quantizer_weight": 1.0, "perceptual_loss": "none",
+            "perceptual_weight": 0.0, "reconstruction_loss": "l2",
+            "reconstruction_weight": 1.0, "discriminator_start": 100_000,
+            "discriminator_loss": "hinge", "discriminator_factor": 1.0,
+            "discriminator_weight": 0.1, "discriminator_gradient_penalty": "none",
+            "discriminator_penalty_cost": 10.0, "lecam_regularization_weight": 0.0,
+        },
+        "dataset": {
+            "params": {"train_shards_path_or_url": "/nonexistent/{0000..0001}.tar",
+                       "eval_shards_path_or_url": "/nonexistent/{0000..0001}.tar"},
+            "preprocessing": {"resolution": 32, "use_aspect_ratio_aug": False,
+                              "use_random_crop": False, "min_scale": 0.8,
+                              "interpolation": "bilinear"},
+        },
+        "optimizer": {"name": "adamw", "params": {"learning_rate": 1e-3}},
+        "lr_scheduler": {"scheduler": "constant", "params": {}},
+        "training": {"gradient_accumulation_steps": 1, "per_device_batch_size": 2,
+                     "mixed_precision": "no", "use_ema": True, "seed": 0,
+                     "max_train_steps": 10_000, "overfit_batch": False,
+                     "num_generated_images": 1, "max_grad_norm": 1.0},
+    }
+    config_path = tmp_path / "cfg.yaml"
+    config_path.write_text(yaml.safe_dump(cfg))
+    workspace = tmp_path / "ws"
+    metrics_path = workspace / "mp_sig" / "metrics.jsonl"
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    port = _free_port()
+    worker = os.path.join(REPO, "tests", "multiprocess_train_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), str(NPROC), str(port),
+             str(workspace), str(config_path)],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(NPROC)
+    ]
+
+    def logged_steps():
+        if not metrics_path.exists():
+            return 0
+        n = 0
+        with open(metrics_path) as f:
+            for line in f:
+                try:
+                    if "total_loss" in json.loads(line):
+                        n += 1
+                except json.JSONDecodeError:
+                    pass
+        return n
+
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        if logged_steps() >= 2:
+            break
+        for pid, p in enumerate(procs):
+            if p.poll() is not None:
+                outs = [q.communicate()[0] for q in procs]
+                raise AssertionError(
+                    f"worker {pid} exited early:\n{outs[pid][-4000:]}"
+                )
+        time.sleep(0.5)
+    else:
+        for p in procs:
+            p.kill()
+        raise AssertionError("training never reached 2 steps")
+
+    procs[1].send_signal(signal.SIGTERM)  # the NON-main process only
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} not clean:\n{out[-6000:]}"
+    # both processes observed the (global) stop and saved together
+    assert "preemption: stopping cleanly" in outs[0] or \
+           "preemption: stopping cleanly" in outs[1]
+    ckpt_dir = workspace / "mp_sig" / "checkpoints"
+    assert any(p.startswith("metadata-") for p in os.listdir(ckpt_dir))
+
+
 def test_eval_cli_two_processes(tmp_path):
     """The full eval_maskbit CLI under 2-process jax.distributed: each host
     samples its strided label share on a per-host mesh, ADM moments merge
