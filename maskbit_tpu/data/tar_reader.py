@@ -102,6 +102,53 @@ def _decode_sample(
     return transform(img), label
 
 
+def _decode_sample_native(
+    sample: Dict[str, bytes],
+    transform: Callable,
+    sample_seed: Optional[str] = None,
+) -> Optional[Tuple[np.ndarray, int]]:
+    """C++ decode backend: bytes -> crop -> resize -> flip in one native pass
+    (maskbit_tpu/native). The crop/flip rng draws use the SAME functions and
+    order as the PIL path, so augmentation geometry is identical for a given
+    seed; only the resample arithmetic differs (~1 LSB vs PIL bilinear).
+    Non-JPEG members and undecodable bytes fall back to the PIL path."""
+    from maskbit_tpu import native
+    from maskbit_tpu.data.transforms import TrainTransform, random_resized_crop_params
+
+    img_bytes = None
+    for ext in ("jpg", "jpeg"):
+        if ext in sample:
+            img_bytes = sample[ext]
+            break
+    if img_bytes is None:  # png/webp/...: PIL handles it
+        return _decode_sample(sample, transform, sample_seed)
+    label = int(sample["cls"].decode()) if "cls" in sample else -1
+    try:
+        w, h = native.decode_info(img_bytes)
+    except ValueError:
+        return _decode_sample(sample, transform, sample_seed)
+
+    res = transform.resolution
+    if sample_seed is not None:
+        rng = random.Random(sample_seed)
+    else:
+        rng = getattr(transform, "rng", random.Random(0))
+    is_train = isinstance(transform, TrainTransform)
+    if is_train and transform.use_random_crop:
+        top, left, ch, cw = random_resized_crop_params(
+            h, w, (transform.min_scale, 1.0), transform.ratio, rng
+        )
+    else:
+        s = min(w, h)
+        top, left, ch, cw = (h - s) // 2, (w - s) // 2, s, s
+    flip = is_train and rng.random() < 0.5
+    try:
+        out = native.decode_crop_resize(img_bytes, top, left, ch, cw, res, res, flip)
+    except ValueError:
+        return _decode_sample(sample, transform, sample_seed)
+    return out.astype(np.float32) / 255.0, label
+
+
 # --- process-pool decode backend -------------------------------------------
 # JPEG decode in CPython threads is mostly GIL-free (PIL releases it), but on
 # very wide pod hosts the residual GIL contention of transform/numpy code can
@@ -161,8 +208,19 @@ class TarImageDataset:
         self.shards = expand_shard_pattern(shards)
         if not self.shards:
             raise ValueError(f"No shards matched {shards!r}")
-        if decode_backend not in ("thread", "process"):
-            raise ValueError(f"decode_backend must be 'thread' or 'process', got {decode_backend!r}")
+        if decode_backend not in ("thread", "process", "native"):
+            raise ValueError(
+                f"decode_backend must be 'thread', 'process' or 'native', "
+                f"got {decode_backend!r}"
+            )
+        if decode_backend == "native":
+            from maskbit_tpu import native
+
+            if not native.is_available():
+                raise ValueError(
+                    "decode_backend='native' but the C++ decoder could not "
+                    f"be built: {native.build_error()}"
+                )
         self.transform = transform
         self.resample = resample
         self.shuffle_buffer_size = shuffle_buffer_size
@@ -202,9 +260,15 @@ class TarImageDataset:
         seed_base = f"{self.seed}-{self.process_index}-sample"
         indexed = ((s, f"{seed_base}-{i}") for i, s in enumerate(samples))
 
+        # "native" runs the C++ kernel on the thread pool (it releases the
+        # GIL for the whole decode+crop+resize, so threads scale on cores)
+        decode_fn = (
+            _decode_sample_native if self.decode_backend == "native" else _decode_sample
+        )
+
         if self.num_decode_threads <= 1:
             for s, ss in indexed:
-                decoded = _decode_sample(s, self.transform, ss)
+                decoded = decode_fn(s, self.transform, ss)
                 if decoded is not None:
                     yield decoded
             return
@@ -223,7 +287,7 @@ class TarImageDataset:
             submit = lambda item: pool.submit(_decode_in_worker, item)
         else:
             pool = ThreadPoolExecutor(self.num_decode_threads)
-            submit = lambda item: pool.submit(_decode_sample, item[0], self.transform, item[1])
+            submit = lambda item: pool.submit(decode_fn, item[0], self.transform, item[1])
 
         with pool:
             window = 2 * self.num_decode_threads

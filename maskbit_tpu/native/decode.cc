@@ -1,0 +1,178 @@
+// Native JPEG decode + crop + bilinear-resize kernel for the data pipeline.
+//
+// Why native: the Python path (PIL decode -> PIL crop/resize -> numpy copy)
+// costs ~5.7 ms/img per core (BENCHMARKS.md "Input pipeline") — enough for
+// one chip, not for a multi-chip host. This kernel does the whole
+// bytes -> (out_h, out_w, 3) uint8 pipeline in one pass with zero Python
+// round-trips, and uses libjpeg's DCT-domain 1/2, 1/4, 1/8 scaled decode
+// when the crop region is much larger than the output, skipping most of the
+// IDCT work for large sources. Called via ctypes (maskbit_tpu/native/
+// __init__.py); ctypes releases the GIL, so the thread-pool backend scales
+// across cores.
+//
+// The crop-box geometry (RandomResizedCrop params, center-crop box, flip
+// coin) stays in Python (data/tar_reader.py) so the augmentation rng stream
+// is IDENTICAL to the PIL backends; only the resample arithmetic differs
+// (standard half-pixel-center bilinear here vs PIL's filtered resize).
+
+#include <csetjmp>
+#include <cstddef>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+// jpeglib.h uses size_t/FILE without including their headers — keep it last
+#include <jpeglib.h>
+
+namespace {
+
+struct ErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void error_exit(j_common_ptr cinfo) {
+  ErrorMgr* err = reinterpret_cast<ErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+void output_message(j_common_ptr) {}  // silence stderr chatter
+
+// Separable bilinear resize with half-pixel centers from a crop window
+// (top, left, crop_h, crop_w) of src (h, w, 3) into dst (out_h, out_w, 3).
+// The crop window is in (possibly scaled) source pixel coordinates and may
+// be fractional at the edges.
+void crop_resize_bilinear(const uint8_t* src, int src_w, int src_h,
+                          double top, double left, double crop_h,
+                          double crop_w, uint8_t* dst, int out_w, int out_h,
+                          bool flip) {
+  const double sy = crop_h / out_h;
+  const double sx = crop_w / out_w;
+  std::vector<int> x0s(out_w), x1s(out_w);
+  std::vector<float> wxs(out_w);
+  for (int ox = 0; ox < out_w; ++ox) {
+    double fx = left + (ox + 0.5) * sx - 0.5;
+    if (fx < 0) fx = 0;
+    if (fx > src_w - 1) fx = src_w - 1;
+    int x0 = static_cast<int>(fx);
+    int x1 = x0 + 1 < src_w ? x0 + 1 : x0;
+    x0s[ox] = x0 * 3;
+    x1s[ox] = x1 * 3;
+    wxs[ox] = static_cast<float>(fx - x0);
+  }
+  std::vector<float> row(out_w * 3);
+  for (int oy = 0; oy < out_h; ++oy) {
+    double fy = top + (oy + 0.5) * sy - 0.5;
+    if (fy < 0) fy = 0;
+    if (fy > src_h - 1) fy = src_h - 1;
+    int y0 = static_cast<int>(fy);
+    int y1 = y0 + 1 < src_h ? y0 + 1 : y0;
+    float wy = static_cast<float>(fy - y0);
+    const uint8_t* r0 = src + static_cast<size_t>(y0) * src_w * 3;
+    const uint8_t* r1 = src + static_cast<size_t>(y1) * src_w * 3;
+    for (int ox = 0; ox < out_w; ++ox) {
+      const float wx = wxs[ox];
+      const int a = x0s[ox], b = x1s[ox];
+      for (int c = 0; c < 3; ++c) {
+        float t0 = r0[a + c] + wx * (r0[b + c] - r0[a + c]);
+        float t1 = r1[a + c] + wx * (r1[b + c] - r1[a + c]);
+        row[ox * 3 + c] = t0 + wy * (t1 - t0);
+      }
+    }
+    uint8_t* out_row = dst + static_cast<size_t>(oy) * out_w * 3;
+    if (flip) {
+      for (int ox = 0; ox < out_w; ++ox) {
+        const float* px = &row[(out_w - 1 - ox) * 3];
+        for (int c = 0; c < 3; ++c)
+          out_row[ox * 3 + c] = static_cast<uint8_t>(px[c] + 0.5f);
+      }
+    } else {
+      for (int i = 0; i < out_w * 3; ++i)
+        out_row[i] = static_cast<uint8_t>(row[i] + 0.5f);
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse the header only. Returns 0 on success.
+int mb_decode_info(const uint8_t* buf, size_t len, int* w, int* h) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  jerr.pub.output_message = output_message;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf), len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  *w = static_cast<int>(cinfo.image_width);
+  *h = static_cast<int>(cinfo.image_height);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Decode, crop (top, left, crop_h, crop_w in FULL-RESOLUTION source
+// coordinates), bilinear-resize to (out_h, out_w), optional horizontal
+// flip. `out` must hold out_h*out_w*3 bytes. Returns 0 on success.
+int mb_decode_crop_resize(const uint8_t* buf, size_t len, double top,
+                          double left, double crop_h, double crop_w,
+                          int out_h, int out_w, int flip, uint8_t* out) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  jerr.pub.output_message = output_message;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf), len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+
+  // DCT-domain downscale: decode at 1/d (d in {1,2,4,8}) as long as the
+  // scaled crop still oversamples the output by >= ~1.25x per axis.
+  int denom = 1;
+  while (denom < 8 && crop_h / (denom * 2) >= out_h * 1.25 &&
+         crop_w / (denom * 2) >= out_w * 1.25) {
+    denom *= 2;
+  }
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = denom;
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+
+  const int sw = static_cast<int>(cinfo.output_width);
+  const int sh = static_cast<int>(cinfo.output_height);
+  std::vector<uint8_t> pixels(static_cast<size_t>(sw) * sh * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* rowp = pixels.data() + static_cast<size_t>(cinfo.output_scanline) * sw * 3;
+    jpeg_read_scanlines(&cinfo, &rowp, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+
+  // map the full-res crop box into the scaled image's coordinates. libjpeg
+  // rounds output dims up, so derive the exact per-axis scale from them.
+  const double fx = static_cast<double>(sw) / cinfo.image_width;
+  const double fy = static_cast<double>(sh) / cinfo.image_height;
+  crop_resize_bilinear(pixels.data(), sw, sh, top * fy, left * fx,
+                       crop_h * fy, crop_w * fx, out, out_w, out_h,
+                       flip != 0);
+  return 0;
+}
+
+}  // extern "C"
