@@ -86,7 +86,23 @@ class GeneratorService:
         # fill window AFTER the first pending label before dispatch; a
         # fraction of the ~1-3 s device step, so batching costs ~nothing
         self.batch_wait = float(config.select("serve.batch_wait_ms", 10)) / 1e3
-        self._sampler = make_sampler(generator, tokenizer, sampling_cfg, jit=True)
+        n_local = len(jax.local_devices())
+        if n_local > 1 and self.batch % n_local == 0 and \
+                config.select("serve.shard_local_devices", True):
+            # multi-chip host: shard each serving batch over the local mesh
+            # (weights replicated, batch on the data axis) — one jit runs on
+            # every chip simultaneously, ~n_local x the throughput
+            from maskbit_tpu.parallel.mesh import MeshConfig, local_mesh
+            from maskbit_tpu.sampling.serve import make_sharded_sampler
+
+            mesh = local_mesh(MeshConfig())
+            self.logger.info(
+                f"sharding serving batch {self.batch} over {n_local} local devices"
+            )
+            sharded = make_sharded_sampler(generator, tokenizer, sampling_cfg, mesh)
+            self._sampler = lambda gv, tv, key, y: (sharded(gv, tv, key, y), None)
+        else:
+            self._sampler = make_sampler(generator, tokenizer, sampling_cfg, jit=True)
         self._lock = threading.Lock()
         self.warm = False
         self._default_seed = int(config.select("training.seed", 42))

@@ -56,26 +56,43 @@ def create_mesh(config: MeshConfig = MeshConfig(), devices: Optional[Sequence] =
     assert data * config.fsdp * config.tensor == n, (
         f"mesh {data}x{config.fsdp}x{config.tensor} != {n} devices"
     )
-    shape = (data, config.fsdp, config.tensor)
-    # topology-aware placement: on a real TPU slice the device ORDER decides
-    # whether the tensor/fsdp collectives ride ICI or hop DCN. mesh_utils
-    # lays the fastest-varying axes (tensor, fsdp) along physically adjacent
-    # chips; a plain reshape of jax.devices() does not.
+    dev_array = _device_array((data, config.fsdp, config.tensor), devices)
+    return Mesh(dev_array, AXES)
+
+
+def _device_array(shape, devices) -> np.ndarray:
+    """Topology-aware (data, fsdp, tensor) device array.
+
+    On a real TPU slice the device ORDER decides whether the tensor/fsdp
+    collectives ride ICI or hop DCN: mesh_utils lays the fastest-varying
+    axes (tensor, fsdp) along physically adjacent chips; a plain reshape of
+    jax.devices() does not. On a MULTI-SLICE pod (devices spanning
+    slice_index values), the outermost DATA axis is placed across slices so
+    the model axes' collectives stay on ICI and only the per-step grad
+    reduction crosses DCN — the standard DP-over-multislice layout."""
+    data = shape[0]
     try:
         from jax.experimental import mesh_utils
 
-        dev_array = mesh_utils.create_device_mesh(shape, devices=devices)
+        slice_ids = {getattr(d, "slice_index", 0) or 0 for d in devices}
+        n_slices = len(slice_ids)
+        if n_slices > 1 and data % n_slices == 0:
+            return mesh_utils.create_hybrid_device_mesh(
+                (data // n_slices,) + tuple(shape[1:]),
+                (n_slices,) + (1,) * (len(shape) - 1),
+                devices=devices,
+            )
+        return mesh_utils.create_device_mesh(shape, devices=devices)
     except (ValueError, NotImplementedError, AssertionError) as e:
         # odd shapes/backends: fall back to enumeration order — visibly,
         # because on a pod this ordering can route collectives over DCN
         import logging
 
         logging.getLogger("maskbit_tpu").warning(
-            f"mesh_utils.create_device_mesh failed for {shape} ({e!r}); "
+            f"mesh_utils device mesh failed for {shape} ({e!r}); "
             "falling back to device enumeration order (may be ICI-suboptimal)"
         )
-        dev_array = np.asarray(devices).reshape(shape)
-    return Mesh(dev_array, AXES)
+        return np.asarray(devices).reshape(shape)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -79,6 +79,47 @@ def test_serve_generate(tmp_path):
         service.close()
 
 
+def test_serve_sharded_over_local_mesh(tmp_path):
+    """serve.batch_size divisible by the local device count: the service
+    shards each compiled batch over the local mesh (8 virtual CPU devices
+    here; chips on a real multi-chip host) and still serves correct
+    per-request results through HTTP."""
+    import jax
+    import pytest
+    import yaml
+
+    if len(jax.local_devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from maskbit_tpu.cli.serve import main
+
+    cfg = _cfg_dict()
+    cfg["serve"] = {"port": 0, "batch_size": 8}
+    cfg_path = tmp_path / "serve_sh.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    server, service = main([f"config={cfg_path}"], serve_forever=False)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = server.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        req = urllib.request.Request(
+            f"{base}/generate",
+            data=json.dumps({"labels": [1, 7, 282], "seed": 5}).encode(),
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            images = np.load(io.BytesIO(r.read()))["images"]
+        assert images.shape == (3, 32, 32, 3) and images.dtype == np.uint8
+        # unseeded path rides the micro-batcher over the sharded sampler
+        with urllib.request.urlopen(urllib.request.Request(
+            f"{base}/generate", data=json.dumps({"labels": [4]}).encode()
+        ), timeout=120) as r:
+            one = np.load(io.BytesIO(r.read()))["images"]
+        assert one.shape == (1, 32, 32, 3)
+    finally:
+        server.shutdown()
+        service.close()
+
+
 def test_serve_micro_batching_and_caps(tmp_path):
     """Concurrent UNSEEDED requests aggregate into one compiled-batch device
     call (dynamic micro-batching, VERDICT r2 item 8) and the request caps
