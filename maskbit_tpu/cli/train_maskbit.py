@@ -197,8 +197,22 @@ def main(argv=None):
         profiler = ProfilerHook(output_dir, config.select("experiment.profile_steps", ""))
         # rbg: the TPU hardware PRNG. threefry dropout-mask generation costs
         # ~60 ms/step on the 24-layer generator (BENCHMARKS.md round 2);
-        # rbg generates in hardware at no measurable cost.
-        rng_step = jax.random.key(ctx["seed"] + 1, impl="rbg")
+        # rbg generates in hardware at no measurable cost. EXCEPT under
+        # remat: rbg bits are not recomputable, so XLA must SAVE every
+        # dropout mask — at 512px that is ~4.6 GB of pred[b,h,n,n] buffers,
+        # exactly what remat is meant to free. Counter-based threefry
+        # recomputes masks bit-exactly in the backward pass.
+        remat_on = bool(mlm_cfg.get("remat", False))
+        prng_impl = config.select(
+            "training.prng_impl", "threefry2x32" if remat_on else "rbg"
+        )
+        if remat_on and prng_impl == "rbg":
+            logger.warning(
+                "training.prng_impl=rbg with model.mlm_model.remat=true: rbg "
+                "random bits cannot be rematerialized — dropout masks stay "
+                "resident and remat frees far less memory"
+            )
+        rng_step = jax.random.key(ctx["seed"] + 1, impl=prng_impl)
         from maskbit_tpu.cli.common import GracefulShutdown
 
         shutdown = GracefulShutdown(logger)

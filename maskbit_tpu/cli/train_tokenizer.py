@@ -224,7 +224,9 @@ def main(argv=None):
         # rbg: the TPU hardware PRNG. threefry dropout-mask generation costs
         # ~60 ms/step on the 24-layer generator (BENCHMARKS.md round 2);
         # rbg generates in hardware at no measurable cost.
-        rng_step = jax.random.key(ctx["seed"] + 1, impl="rbg")
+        rng_step = jax.random.key(
+            ctx["seed"] + 1, impl=config.select("training.prng_impl", "rbg")
+        )
         from maskbit_tpu.cli.common import GracefulShutdown
 
         shutdown = GracefulShutdown(logger)

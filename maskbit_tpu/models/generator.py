@@ -47,6 +47,10 @@ class _GeneratorBase(nn.Module):
     use_prenorm: bool = False
     remat: bool = False
     attention_impl: str = "einsum"  # "einsum" | "fused" (Pallas inference block)
+    # None: attention-prob dropout follows `dropout` (torch-MHA parity);
+    # 0.0 drops the (b, h, n, n) attention dropout masks — the dominant
+    # training residual at seq 1025 (512px) — while keeping hidden dropout
+    attention_dropout: "float | None" = None
     dtype: Dtype = jnp.float32
 
     @property
@@ -89,6 +93,7 @@ class _GeneratorBase(nn.Module):
             use_prenorm=mlm_cfg.get("use_prenorm", False),
             remat=mlm_cfg.get("remat", False),
             attention_impl=mlm_cfg.get("attention_impl", "einsum"),
+            attention_dropout=mlm_cfg.get("attention_dropout", None),
             dtype=dtype,
         )
 
@@ -114,6 +119,7 @@ class _GeneratorBase(nn.Module):
             use_prenorm=self.use_prenorm,
             remat=self.remat,
             attention_impl=self.attention_impl,
+            attention_dropout=self.attention_dropout,
             dtype=self.dtype,
             name="transformer",
         )(x, deterministic=deterministic)

@@ -73,6 +73,12 @@ class MultiHeadSelfAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    # None: attention-prob dropout = `dropout` (torch-MHA parity). At long
+    # sequences the (b, h, n, n) dropout mask is the dominant training
+    # residual (~290 MB/layer at seq 1025, BENCHMARKS.md round 3); setting
+    # this to 0.0 removes that randomness entirely while keeping the
+    # hidden-state dropouts.
+    attention_dropout: "float | None" = None
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -82,7 +88,8 @@ class MultiHeadSelfAttention(nn.Module):
             self.embed_dim, self.embed_dim,
             kernel_init=nn.initializers.truncated_normal(stddev=0.02),
         )
-        self.attn_drop = nn.Dropout(self.dropout)
+        p = self.dropout if self.attention_dropout is None else self.attention_dropout
+        self.attn_drop = nn.Dropout(p)
 
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         b, n, e = x.shape
@@ -109,10 +116,12 @@ class BertAttention(nn.Module):
     dropout: float = 0.0
     use_prenorm: bool = False
     attention_impl: str = "einsum"  # "einsum" | "fused" (Pallas, postnorm inference)
+    attention_dropout: "float | None" = None
     dtype: Dtype = jnp.float32
 
     def setup(self):
         self.mha = MultiHeadSelfAttention(self.embed_dim, self.num_heads, self.dropout,
+                                          attention_dropout=self.attention_dropout,
                                           dtype=self.dtype)
         self.norm = NormParams(self.embed_dim)
         self.drop = nn.Dropout(self.dropout)
@@ -188,6 +197,7 @@ class TransformerEncoder(nn.Module):
     use_prenorm: bool = False
     remat: bool = False  # rematerialize per-layer activations (trade FLOPs for HBM)
     attention_impl: str = "einsum"
+    attention_dropout: "float | None" = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -199,6 +209,7 @@ class TransformerEncoder(nn.Module):
         for i in range(self.depth):
             x = attn_cls(self.dim, self.heads, self.dropout, self.use_prenorm,
                          attention_impl=self.attention_impl,
+                         attention_dropout=self.attention_dropout,
                          dtype=self.dtype, name=f"layers_{i}_attn")(x, deterministic)
             x = ffn_cls(self.dim, self.mlp_dim, self.dropout, self.use_prenorm,
                         dtype=self.dtype, name=f"layers_{i}_ffn")(x, deterministic)

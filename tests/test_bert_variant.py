@@ -88,3 +88,29 @@ def test_make_generator_factory():
 
     with pytest.raises(ValueError):
         make_generator("gpt", D(mlm), D(vq))
+
+
+def test_attention_dropout_override():
+    """attention_dropout=0.0 disables ONLY the attention-prob dropout (the
+    (b, h, n, n) mask that dominates 512px training residuals): the MHA
+    module becomes deterministic even in train mode, while None keeps the
+    torch-MHA parity default (attn dropout = dropout)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maskbit_tpu.nn.transformer import MultiHeadSelfAttention
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, 32)), jnp.float32)
+
+    mha_off = MultiHeadSelfAttention(32, 4, dropout=0.9, attention_dropout=0.0)
+    v = mha_off.init(jax.random.key(0), x)
+    train = mha_off.apply(v, x, deterministic=False,
+                          rngs={"dropout": jax.random.key(1)})
+    eval_ = mha_off.apply(v, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(train), np.asarray(eval_))
+
+    mha_def = MultiHeadSelfAttention(32, 4, dropout=0.9)  # parity default
+    train2 = mha_def.apply(v, x, deterministic=False,
+                           rngs={"dropout": jax.random.key(1)})
+    assert not np.array_equal(np.asarray(train2), np.asarray(eval_))

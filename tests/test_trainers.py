@@ -290,6 +290,44 @@ def test_generator_step_buffer_donation():
     _assert_state_trees_equal(ref_state, new_state)
 
 
+def test_generator_remat_matches_nonremat():
+    """model.mlm_model.remat=true (per-layer jax.checkpoint) must not change
+    the training numerics: with counter-based threefry keys the dropout
+    masks recompute bit-exactly in the backward pass, so the remat and
+    plain steps produce the same updated params. (With rbg keys the bits
+    are not recomputable — XLA saves the masks instead, which is why the
+    round-2 remat measurement freed almost nothing at 512px.)"""
+    from maskbit_tpu.train.generator_trainer import (
+        make_generator_train_step_from_tokens,
+    )
+
+    tokens = jnp.asarray(np.random.default_rng(0).integers(0, 16, (4, 64)), jnp.int32)
+    labels = jnp.asarray([0, 1, 2, 3])
+    rng_step = jax.random.key(2)  # threefry
+
+    def run(remat):
+        model = LFQBert(
+            img_size=16, hidden_dim=32, codebook_size=16, codebook_splits=2,
+            depth=2, heads=2, mlp_dim=64, dropout=0.3, nclass=10,
+            input_stride=2, remat=remat,
+        )
+        tx = make_optimizer(1e-3, max_grad_norm=1.0)
+        state = init_generator_train_state(model, tx, jax.random.key(0))
+        step_fn = jax.jit(
+            make_generator_train_step_from_tokens(model, 16, tx, MLMLossConfig())
+        )
+        new_state, metrics = step_fn(state, tokens, labels, rng_step)
+        return jax.device_get(new_state.params), float(metrics["mlm_loss"])
+
+    params_plain, loss_plain = run(remat=False)
+    params_remat, loss_remat = run(remat=True)
+    assert abs(loss_plain - loss_remat) < 1e-6
+    same = jax.tree.map(
+        lambda a, b: np.allclose(a, b, atol=1e-6), params_plain, params_remat
+    )
+    assert all(jax.tree.leaves(same))
+
+
 def test_v2_discriminator_concat_pass_identity(rng):
     """The batched real+fake discriminator pass (train/tokenizer_trainer.py)
     relies on GroupNorm being per-sample: D(concat(a, b)) == concat(D(a),
