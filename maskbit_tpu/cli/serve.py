@@ -279,11 +279,15 @@ def make_handler(service: GeneratorService):
                 else:
                     # unseeded: micro-batched with concurrent requests
                     images = service.generate_batched(req.get("labels", []))
-                if req.get("format", "npy") == "png":
+                fmt = req.get("format", "npy")
+                if fmt == "png":
                     self._reply(200, _png_grid(images), "image/png")
                 else:
                     buf = io.BytesIO()
-                    np.savez_compressed(buf, images=images)
+                    if fmt == "npz":  # opt-in: zlib costs ~0.2-0.4 s/batch
+                        np.savez_compressed(buf, images=images)
+                    else:  # default: uncompressed (localhost, bandwidth free)
+                        np.savez(buf, images=images)
                     self._reply(200, buf.getvalue(), "application/octet-stream")
             except ValueError as e:
                 self._json(400, {"error": str(e)})
