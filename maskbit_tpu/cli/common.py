@@ -360,13 +360,19 @@ class GracefulShutdown:
     stop decision must be global — if SIGTERM lands on only some hosts
     (delivery skew during a preemption), a local decision would deadlock
     the save against hosts still training. `should_stop()` therefore
-    OR-reduces the local flag across processes (a 1-byte allgather per
-    step; immeasurable next to a train step)."""
+    OR-reduces the local flag across processes. The reduce is a blocking
+    host-side collective that would break the host's async run-ahead if
+    issued every step, so it runs every `check_every` steps (all hosts
+    agree on WHICH steps via the global step counter — collectives must
+    match up); preemption grace windows are tens of seconds, so reacting
+    within check_every steps is ample."""
 
-    def __init__(self, logger=None):
+    def __init__(self, logger=None, check_every: int = 8):
         import signal
 
         self.requested = False
+        self.check_every = max(1, int(check_every))
+        self._stopped = False  # sticky once the global decision fires
         self._logger = logger
         try:
             self._prev = signal.signal(signal.SIGTERM, self._handle)
@@ -381,17 +387,25 @@ class GracefulShutdown:
                 "writing a final checkpoint and exiting"
             )
 
-    def should_stop(self) -> bool:
+    def should_stop(self, step: int = 0) -> bool:
         """Global stop decision: true on EVERY host iff any host was
-        signaled, so all hosts enter the final collective save together."""
+        signaled, so all hosts enter the final collective save together.
+        Pass the global step; the cross-host reduce runs only on steps
+        divisible by check_every (single-host: immediate, no collective)."""
+        if self._stopped:
+            return True
         if jax.process_count() == 1:
-            return self.requested
+            self._stopped = self.requested
+            return self._stopped
+        if step % self.check_every != 0:
+            return False
         from jax.experimental import multihost_utils
 
         flags = multihost_utils.process_allgather(
             np.asarray([self.requested], np.int32)
         )
-        return bool(np.any(flags))
+        self._stopped = bool(np.any(flags))
+        return self._stopped
 
 
 class StepTimer:

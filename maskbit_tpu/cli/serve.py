@@ -187,6 +187,12 @@ class GeneratorService:
                 while not self._units and not self._stop:
                     self._units_cv.wait()
                 if self._stop:
+                    # fail queued requests fast instead of leaving their
+                    # handler threads blocked until the 600 s wait timeout
+                    while self._units:
+                        pending, _, _ = self._units.popleft()
+                        pending.error = RuntimeError("server shutting down")
+                        pending.event.set()
                     return
             # short fill window: let concurrent requests join this batch
             deadline = time.monotonic() + self.batch_wait

@@ -231,7 +231,7 @@ def main(argv=None):
             global_step += 1
             timer.batch_tick()
 
-            if shutdown.should_stop():
+            if shutdown.should_stop(global_step):
                 # preemption (any host): fall through to the final save —
                 # the decision is global so the collective save can't hang
                 logger.warning(f"preemption: stopping cleanly at step {global_step}")

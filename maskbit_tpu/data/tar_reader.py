@@ -122,6 +122,9 @@ def _decode_sample_native(
             break
     if img_bytes is None:  # png/webp/...: PIL handles it
         return _decode_sample(sample, transform, sample_seed)
+    interp = getattr(transform, "interpolation", "bilinear")
+    if interp not in native.FILTERS:  # nearest/lanczos: PIL handles it
+        return _decode_sample(sample, transform, sample_seed)
     label = int(sample["cls"].decode()) if "cls" in sample else -1
     try:
         w, h = native.decode_info(img_bytes)
@@ -143,7 +146,9 @@ def _decode_sample_native(
         top, left, ch, cw = (h - s) // 2, (w - s) // 2, s, s
     flip = is_train and rng.random() < 0.5
     try:
-        out = native.decode_crop_resize(img_bytes, top, left, ch, cw, res, res, flip)
+        out = native.decode_crop_resize(
+            img_bytes, top, left, ch, cw, res, res, flip, interpolation=interp
+        )
     except ValueError:
         return _decode_sample(sample, transform, sample_seed)
     return out.astype(np.float32) / 255.0, label

@@ -77,6 +77,7 @@ class TrainTransform:
         self.min_scale = min_scale
         self.ratio = (3.0 / 4.0, 4.0 / 3.0) if use_aspect_ratio_aug else (1.0, 1.0)
         self.use_random_crop = use_random_crop
+        self.interpolation = interpolation  # name kept for the native backend
         self.interp = _INTERPOLATION[interpolation]
         self.rng = random.Random(seed)
 
@@ -109,6 +110,7 @@ class EvalTransform:
 
     def __init__(self, resolution: int = 256, interpolation: str = "bilinear"):
         self.resolution = resolution
+        self.interpolation = interpolation  # name kept for the native backend
         self.interp = _INTERPOLATION[interpolation]
 
     def __call__(self, img: Image.Image) -> np.ndarray:

@@ -33,17 +33,30 @@ _build_error: Optional[str] = None
 
 
 def _build() -> Optional[str]:
-    """Compile decode.cc -> libmaskbit_decode.so. Returns an error or None."""
+    """Compile decode.cc -> libmaskbit_decode.so. Returns an error or None.
+
+    Compiles to a per-process temp path and os.rename()s into place:
+    concurrent processes (a train CLI + an eval CLI, parallel test workers)
+    may build simultaneously, and a reader must never dlopen a half-written
+    file — rename within one directory is atomic, last writer wins."""
+    tmp_path = f"{_LIB_PATH}.tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        _SRC, "-ljpeg", "-o", _LIB_PATH,
+        _SRC, "-ljpeg", "-o", tmp_path,
     ]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        if proc.returncode != 0:
+            return proc.stderr[-2000:]
+        os.rename(tmp_path, _LIB_PATH)
     except (OSError, subprocess.TimeoutExpired) as e:
         return f"{type(e).__name__}: {e}"
-    if proc.returncode != 0:
-        return proc.stderr[-2000:]
+    finally:
+        if os.path.exists(tmp_path):
+            try:
+                os.remove(tmp_path)
+            except OSError:
+                pass
     return None
 
 
@@ -73,7 +86,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.mb_decode_crop_resize.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t,
             ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p,
         ]
         _lib = lib
         return _lib
@@ -101,6 +115,9 @@ def decode_info(buf: bytes) -> Tuple[int, int]:
     return w.value, h.value
 
 
+FILTERS = {"bilinear": 0, "bicubic": 1}
+
+
 def decode_crop_resize(
     buf: bytes,
     top: float,
@@ -110,17 +127,21 @@ def decode_crop_resize(
     out_h: int,
     out_w: int,
     flip: bool = False,
+    interpolation: str = "bilinear",
 ) -> np.ndarray:
     """JPEG bytes -> (out_h, out_w, 3) uint8: decode (DCT-scaled when the
-    crop oversamples the output), crop the full-resolution box, bilinear
-    resize, optional horizontal flip. Releases the GIL."""
+    crop oversamples the output), crop the full-resolution box, resize with
+    `interpolation` (bilinear or bicubic/Keys a=-0.5 — the two filters the
+    configs use), optional horizontal flip. Releases the GIL."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native decode unavailable: {_build_error}")
+    if interpolation not in FILTERS:
+        raise ValueError(f"unsupported native interpolation {interpolation!r}")
     out = np.empty((out_h, out_w, 3), np.uint8)
     rc = lib.mb_decode_crop_resize(
         buf, len(buf), float(top), float(left), float(crop_h), float(crop_w),
-        int(out_h), int(out_w), int(bool(flip)),
+        int(out_h), int(out_w), int(bool(flip)), FILTERS[interpolation],
         out.ctypes.data_as(ctypes.c_void_p),
     )
     if rc != 0:

@@ -39,57 +39,97 @@ void error_exit(j_common_ptr cinfo) {
 
 void output_message(j_common_ptr) {}  // silence stderr chatter
 
-// Separable bilinear resize with half-pixel centers from a crop window
+// Keys cubic kernel, a = -0.5 (the Catmull-Rom variant PIL/torchvision use
+// for BICUBIC).
+inline float cubic_weight(float x) {
+  const float a = -0.5f;
+  x = x < 0 ? -x : x;
+  if (x < 1.0f) return ((a + 2.0f) * x - (a + 3.0f)) * x * x + 1.0f;
+  if (x < 2.0f) return (((x - 5.0f) * x + 8.0f) * x - 4.0f) * a;
+  return 0.0f;
+}
+
+inline int clampi(int v, int lo, int hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// Separable point-sampled resize with half-pixel centers from a crop window
 // (top, left, crop_h, crop_w) of src (h, w, 3) into dst (out_h, out_w, 3).
-// The crop window is in (possibly scaled) source pixel coordinates and may
-// be fractional at the edges.
-void crop_resize_bilinear(const uint8_t* src, int src_w, int src_h,
-                          double top, double left, double crop_h,
-                          double crop_w, uint8_t* dst, int out_w, int out_h,
-                          bool flip) {
+// filter: 0 = bilinear (2 taps), 1 = bicubic (Keys a=-0.5, 4 taps). The
+// crop window is in (possibly scaled) source pixel coordinates and may be
+// fractional at the edges.
+void crop_resize(const uint8_t* src, int src_w, int src_h, double top,
+                 double left, double crop_h, double crop_w, uint8_t* dst,
+                 int out_w, int out_h, bool flip, int filter) {
+  const int taps = filter == 1 ? 4 : 2;
+  const int off = filter == 1 ? 1 : 0;  // leftmost tap offset from floor(f)
   const double sy = crop_h / out_h;
   const double sx = crop_w / out_w;
-  std::vector<int> x0s(out_w), x1s(out_w);
-  std::vector<float> wxs(out_w);
+
+  // per-output-column tap indices (x3 for RGB) and weights
+  std::vector<int> xi(static_cast<size_t>(out_w) * taps);
+  std::vector<float> xw(static_cast<size_t>(out_w) * taps);
   for (int ox = 0; ox < out_w; ++ox) {
     double fx = left + (ox + 0.5) * sx - 0.5;
-    if (fx < 0) fx = 0;
-    if (fx > src_w - 1) fx = src_w - 1;
-    int x0 = static_cast<int>(fx);
-    int x1 = x0 + 1 < src_w ? x0 + 1 : x0;
-    x0s[ox] = x0 * 3;
-    x1s[ox] = x1 * 3;
-    wxs[ox] = static_cast<float>(fx - x0);
+    int x0 = static_cast<int>(fx >= 0 ? fx : fx - 1);  // floor
+    float frac = static_cast<float>(fx - x0);
+    float wsum = 0.0f;
+    for (int t = 0; t < taps; ++t) {
+      float w = filter == 1 ? cubic_weight(frac - (t - off))
+                            : (t == 0 ? 1.0f - frac : frac);
+      xi[ox * taps + t] = clampi(x0 + t - off, 0, src_w - 1) * 3;
+      xw[ox * taps + t] = w;
+      wsum += w;
+    }
+    for (int t = 0; t < taps; ++t) xw[ox * taps + t] /= wsum;
   }
-  std::vector<float> row(out_w * 3);
+
+  std::vector<float> row(static_cast<size_t>(out_w) * 3);
+  int yi[4];
+  float yw[4];
   for (int oy = 0; oy < out_h; ++oy) {
     double fy = top + (oy + 0.5) * sy - 0.5;
-    if (fy < 0) fy = 0;
-    if (fy > src_h - 1) fy = src_h - 1;
-    int y0 = static_cast<int>(fy);
-    int y1 = y0 + 1 < src_h ? y0 + 1 : y0;
-    float wy = static_cast<float>(fy - y0);
-    const uint8_t* r0 = src + static_cast<size_t>(y0) * src_w * 3;
-    const uint8_t* r1 = src + static_cast<size_t>(y1) * src_w * 3;
-    for (int ox = 0; ox < out_w; ++ox) {
-      const float wx = wxs[ox];
-      const int a = x0s[ox], b = x1s[ox];
-      for (int c = 0; c < 3; ++c) {
-        float t0 = r0[a + c] + wx * (r0[b + c] - r0[a + c]);
-        float t1 = r1[a + c] + wx * (r1[b + c] - r1[a + c]);
-        row[ox * 3 + c] = t0 + wy * (t1 - t0);
+    int y0 = static_cast<int>(fy >= 0 ? fy : fy - 1);
+    float frac = static_cast<float>(fy - y0);
+    float wsum = 0.0f;
+    for (int t = 0; t < taps; ++t) {
+      yw[t] = filter == 1 ? cubic_weight(frac - (t - off))
+                          : (t == 0 ? 1.0f - frac : frac);
+      yi[t] = clampi(y0 + t - off, 0, src_h - 1);
+      wsum += yw[t];
+    }
+    for (int t = 0; t < taps; ++t) yw[t] /= wsum;
+
+    for (int i = 0; i < out_w * 3; ++i) row[i] = 0.0f;
+    for (int t = 0; t < taps; ++t) {
+      const uint8_t* r = src + static_cast<size_t>(yi[t]) * src_w * 3;
+      const float w = yw[t];
+      for (int ox = 0; ox < out_w; ++ox) {
+        float acc0 = 0, acc1 = 0, acc2 = 0;
+        for (int u = 0; u < taps; ++u) {
+          const int a = xi[ox * taps + u];
+          const float wx = xw[ox * taps + u];
+          acc0 += wx * r[a];
+          acc1 += wx * r[a + 1];
+          acc2 += wx * r[a + 2];
+        }
+        row[ox * 3] += w * acc0;
+        row[ox * 3 + 1] += w * acc1;
+        row[ox * 3 + 2] += w * acc2;
       }
     }
     uint8_t* out_row = dst + static_cast<size_t>(oy) * out_w * 3;
+    auto to_u8 = [](float v) {
+      v += 0.5f;
+      return static_cast<uint8_t>(v < 0 ? 0 : (v > 255.0f ? 255.0f : v));
+    };
     if (flip) {
       for (int ox = 0; ox < out_w; ++ox) {
         const float* px = &row[(out_w - 1 - ox) * 3];
-        for (int c = 0; c < 3; ++c)
-          out_row[ox * 3 + c] = static_cast<uint8_t>(px[c] + 0.5f);
+        for (int c = 0; c < 3; ++c) out_row[ox * 3 + c] = to_u8(px[c]);
       }
     } else {
-      for (int i = 0; i < out_w * 3; ++i)
-        out_row[i] = static_cast<uint8_t>(row[i] + 0.5f);
+      for (int i = 0; i < out_w * 3; ++i) out_row[i] = to_u8(row[i]);
     }
   }
 }
@@ -122,11 +162,13 @@ int mb_decode_info(const uint8_t* buf, size_t len, int* w, int* h) {
 }
 
 // Decode, crop (top, left, crop_h, crop_w in FULL-RESOLUTION source
-// coordinates), bilinear-resize to (out_h, out_w), optional horizontal
-// flip. `out` must hold out_h*out_w*3 bytes. Returns 0 on success.
+// coordinates), resize to (out_h, out_w) with `filter` (0 = bilinear,
+// 1 = bicubic/Keys a=-0.5), optional horizontal flip. `out` must hold
+// out_h*out_w*3 bytes. Returns 0 on success.
 int mb_decode_crop_resize(const uint8_t* buf, size_t len, double top,
                           double left, double crop_h, double crop_w,
-                          int out_h, int out_w, int flip, uint8_t* out) {
+                          int out_h, int out_w, int flip, int filter,
+                          uint8_t* out) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -169,9 +211,8 @@ int mb_decode_crop_resize(const uint8_t* buf, size_t len, double top,
   // rounds output dims up, so derive the exact per-axis scale from them.
   const double fx = static_cast<double>(sw) / cinfo.image_width;
   const double fy = static_cast<double>(sh) / cinfo.image_height;
-  crop_resize_bilinear(pixels.data(), sw, sh, top * fy, left * fx,
-                       crop_h * fy, crop_w * fx, out, out_w, out_h,
-                       flip != 0);
+  crop_resize(pixels.data(), sw, sh, top * fy, left * fx, crop_h * fy,
+              crop_w * fx, out, out_w, out_h, flip != 0, filter);
   return 0;
 }
 

@@ -85,6 +85,30 @@ def test_native_matches_pil_train_stream(shard_dir):
         assert np.percentile(diff, 99.9) < 0.25
 
 
+def test_native_matches_pil_bicubic_stream(shard_dir):
+    """All generator configs set interpolation: bicubic — the native kernel
+    implements Keys a=-0.5 bicubic (the PIL/torchvision BICUBIC kernel), so
+    the backend stays active (it used to silently resample bilinear)."""
+    t = lambda: TrainTransform(resolution=64, seed=7, interpolation="bicubic")
+    pil = _stream(shard_dir, "thread", t())
+    nat = _stream(shard_dir, "native", t())
+    for (img_p, lab_p), (img_n, lab_n) in zip(pil, nat):
+        assert lab_p == lab_n
+        diff = np.abs(img_p - img_n)
+        assert diff.mean() < 0.012, diff.mean()
+
+
+def test_native_unsupported_interpolation_falls_back(shard_dir):
+    """lanczos isn't implemented natively: the native backend must produce
+    the PIL stream (fallback), not silently substitute a different filter."""
+    t = lambda: TrainTransform(resolution=64, seed=7, interpolation="lanczos")
+    pil = _stream(shard_dir, "thread", t(), n=8)
+    nat = _stream(shard_dir, "native", t(), n=8)
+    for (img_p, lab_p), (img_n, lab_n) in zip(pil, nat):
+        assert lab_p == lab_n
+        np.testing.assert_array_equal(img_p, img_n)  # identical: same PIL path
+
+
 def test_native_matches_pil_eval_stream(shard_dir):
     pil = _stream(shard_dir, "thread", EvalTransform(resolution=64), resample=False)
     nat = _stream(shard_dir, "native", EvalTransform(resolution=64), resample=False)
