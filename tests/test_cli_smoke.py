@@ -282,6 +282,49 @@ def test_train_tokenizer_finetune_decoder(tmp_path, monkeypatch):
     assert any(jax.tree.leaves(dec_changed)), "decoder must train"
 
 
+def test_train_maskbit_cli_bert_variant(tmp_path, monkeypatch):
+    """The embedding-table Bert generator (reference bert.py:184-340, the
+    non-LFQ variant) through the real train CLI — weight-tied output head,
+    per-split embedding tables, EMA, sampling viz."""
+    from maskbit_tpu.cli.train_maskbit import main
+
+    cfg = {
+        "experiment": {"name": "smoke_bert", "max_train_examples": 64,
+                       "save_every": 100, "eval_every": 100, "generate_every": 2,
+                       "log_every": 1, "logger": "jsonl", "resume": True,
+                       "vqgan_checkpoint": ""},
+        "model": {
+            "vq_model": TINY_VQ,
+            "mlm_model": {"model_cls": "bert", "hidden_dim": 32, "depth": 1,
+                          "heads": 2, "mlp_dim": 64, "dropout": 0.1,
+                          "guidance_scale": 2.0, "guidance_annealing": "cosine",
+                          "num_steps": 3, "train_mask_schedule_strategy": "arccos",
+                          "gen_mask_schedule_strategy": "arccos",
+                          "softmax_temperature": 1.0, "randomize_temperature": 4.0,
+                          "class_label_dropout": 0.1, "scale_pow": 3.0,
+                          "use_sampling_annealing": False, "codebook_splits": 2,
+                          "use_prenorm": False, "img_size": 32, "input_stride": 2},
+        },
+        "losses": {"mlm": {"label_smoothing": 0.1, "sum_splits": False}},
+        "dataset": DATASET,
+        "optimizer": {"name": "adamw", "params": {"learning_rate": 1e-3}},
+        "lr_scheduler": {"scheduler": "constant", "params": {}},
+        "training": {"gradient_accumulation_steps": 1, "per_device_batch_size": 2,
+                     "mixed_precision": "no", "use_ema": True, "seed": 0,
+                     "max_train_steps": 2, "overfit_batch": True, "overfit_batch_num": 1,
+                     "num_generated_images": 1, "max_grad_norm": 1.0},
+    }
+    config_path = _write_config(tmp_path, cfg, name="bert.yaml")
+    monkeypatch.setenv("WORKSPACE", str(tmp_path / "ws"))
+    main([f"config={config_path}"])
+
+    out_dir = tmp_path / "ws" / "smoke_bert"
+    metrics = [json.loads(l) for l in open(out_dir / "metrics.jsonl")]
+    losses = [m["mlm_loss"] for m in metrics if "mlm_loss" in m]
+    assert len(losses) == 2 and all(abs(l) < 1e6 for l in losses)
+    assert any("generated" in f for f in os.listdir(out_dir / "images"))
+
+
 def test_train_tokenizer_cli_fsdp_sharded_resume(tmp_path, monkeypatch):
     """Stage-I GAN training on a NON-trivial mesh (fsdp=2, tensor=2 over the
     8 virtual devices) through the real CLI, WITH the discriminator live from
