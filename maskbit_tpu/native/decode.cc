@@ -161,14 +161,14 @@ int mb_decode_info(const uint8_t* buf, size_t len, int* w, int* h) {
   return 0;
 }
 
-// Decode, crop (top, left, crop_h, crop_w in FULL-RESOLUTION source
-// coordinates), resize to (out_h, out_w) with `filter` (0 = bilinear,
-// 1 = bicubic/Keys a=-0.5), optional horizontal flip. `out` must hold
-// out_h*out_w*3 bytes. Returns 0 on success.
-int mb_decode_crop_resize(const uint8_t* buf, size_t len, double top,
-                          double left, double crop_h, double crop_w,
-                          int out_h, int out_w, int flip, int filter,
-                          uint8_t* out) {
+// Decode into `pixels` at 1/denom DCT scale. `pixels` is CALLER-owned:
+// libjpeg reports errors by longjmp, and jumping out of a scope that holds
+// a std::vector would skip its destructor (UB per the standard, a leak in
+// practice, e.g. on a truncated JPEG mid-scanline) — so the setjmp target
+// lives here while the buffer's lifetime belongs to the caller's frame.
+static int decode_pixels(const uint8_t* buf, size_t len, int denom,
+                         std::vector<uint8_t>& pixels, int* sw, int* sh,
+                         int* full_w, int* full_h) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -184,7 +184,33 @@ int mb_decode_crop_resize(const uint8_t* buf, size_t len, double top,
     jpeg_destroy_decompress(&cinfo);
     return 2;
   }
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = denom;
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *sw = static_cast<int>(cinfo.output_width);
+  *sh = static_cast<int>(cinfo.output_height);
+  *full_w = static_cast<int>(cinfo.image_width);
+  *full_h = static_cast<int>(cinfo.image_height);
+  pixels.resize(static_cast<size_t>(*sw) * *sh * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* rowp =
+        pixels.data() + static_cast<size_t>(cinfo.output_scanline) * *sw * 3;
+    jpeg_read_scanlines(&cinfo, &rowp, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
 
+// Decode, crop (top, left, crop_h, crop_w in FULL-RESOLUTION source
+// coordinates), resize to (out_h, out_w) with `filter` (0 = bilinear,
+// 1 = bicubic/Keys a=-0.5), optional horizontal flip. `out` must hold
+// out_h*out_w*3 bytes. Returns 0 on success.
+int mb_decode_crop_resize(const uint8_t* buf, size_t len, double top,
+                          double left, double crop_h, double crop_w,
+                          int out_h, int out_w, int flip, int filter,
+                          uint8_t* out) {
   // DCT-domain downscale: decode at 1/d (d in {1,2,4,8}) as long as the
   // scaled crop still oversamples the output by >= ~1.25x per axis.
   int denom = 1;
@@ -192,25 +218,15 @@ int mb_decode_crop_resize(const uint8_t* buf, size_t len, double top,
          crop_w / (denom * 2) >= out_w * 1.25) {
     denom *= 2;
   }
-  cinfo.scale_num = 1;
-  cinfo.scale_denom = denom;
-  cinfo.out_color_space = JCS_RGB;
-  jpeg_start_decompress(&cinfo);
-
-  const int sw = static_cast<int>(cinfo.output_width);
-  const int sh = static_cast<int>(cinfo.output_height);
-  std::vector<uint8_t> pixels(static_cast<size_t>(sw) * sh * 3);
-  while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* rowp = pixels.data() + static_cast<size_t>(cinfo.output_scanline) * sw * 3;
-    jpeg_read_scanlines(&cinfo, &rowp, 1);
-  }
-  jpeg_finish_decompress(&cinfo);
-  jpeg_destroy_decompress(&cinfo);
+  std::vector<uint8_t> pixels;
+  int sw, sh, full_w, full_h;
+  int rc = decode_pixels(buf, len, denom, pixels, &sw, &sh, &full_w, &full_h);
+  if (rc != 0) return rc;
 
   // map the full-res crop box into the scaled image's coordinates. libjpeg
   // rounds output dims up, so derive the exact per-axis scale from them.
-  const double fx = static_cast<double>(sw) / cinfo.image_width;
-  const double fy = static_cast<double>(sh) / cinfo.image_height;
+  const double fx = static_cast<double>(sw) / full_w;
+  const double fy = static_cast<double>(sh) / full_h;
   crop_resize(pixels.data(), sw, sh, top * fy, left * fx, crop_h * fy,
               crop_w * fx, out, out_w, out_h, flip != 0, filter);
   return 0;

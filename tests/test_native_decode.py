@@ -155,3 +155,24 @@ def test_invalid_jpeg_raises():
         native.decode_info(b"not a jpeg at all")
     with pytest.raises(ValueError):
         native.decode_crop_resize(b"garbage", 0, 0, 10, 10, 8, 8, False)
+
+
+def test_truncated_jpeg_errors_cleanly():
+    """A severely truncated JPEG makes libjpeg longjmp out of the decode;
+    the pixel buffer is owned OUTSIDE the setjmp frame so this must return
+    a clean ValueError (no crash, no skipped destructor). Mild truncation
+    is EOI-padded by libjpeg (decodes with a warning) — also exercised."""
+    y, x = np.mgrid[0:200, 0:300]
+    arr = np.stack([(x * 0.6) % 256, (y * 0.8) % 256, ((x + y) * 0.5) % 256],
+                   -1).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+    full = buf.getvalue()
+    for _ in range(50):  # leak would accumulate; crash would abort
+        with pytest.raises(ValueError):
+            native.decode_crop_resize(full[: len(full) // 20],
+                                      0, 0, 200, 300, 64, 64, False)
+    # mild truncation: libjpeg pads to EOI and decodes (gray tail)
+    out = native.decode_crop_resize(full[: len(full) // 2],
+                                    0, 0, 200, 300, 64, 64, False)
+    assert out.shape == (64, 64, 3)
