@@ -158,9 +158,12 @@ class AdmMomentAccumulator:
 
     # -- results ---------------------------------------------------------------
     def fid_statistics(self) -> FIDStatistics:
+        from maskbit_tpu.eval.fid import get_covariance
+
         mu = self.act_sum / self.count
-        # unbiased covariance == np.cov(acts, rowvar=False) (ddof=1)
-        sigma = (self.act_outer - self.count * np.outer(mu, mu)) / (self.count - 1)
+        # unbiased covariance == np.cov(acts, rowvar=False) (ddof=1); one
+        # shared implementation of the moment formula (eval/fid.py)
+        sigma = get_covariance(self.act_outer, self.act_sum, self.count)
         return FIDStatistics(mu, sigma)
 
     def inception_score(self) -> float:

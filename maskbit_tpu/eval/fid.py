@@ -35,21 +35,21 @@ def frechet_distance(
     sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
     diff = mu1 - mu2
 
+    # reference order (adm_eval_suite.py:53-70): the non-finite/singular
+    # eps fallback runs FIRST, then the imaginary-component check applies to
+    # whichever covmean survived — a complex-NaN sqrtm must reach the
+    # fallback, not raise
     covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if not np.isfinite(covmean).all():
+        warnings.warn("FID covariance product nearly singular; using eps fallback")
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
     if np.iscomplexobj(covmean):
         if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
             m = np.max(np.abs(covmean.imag))
             raise ValueError(f"Imaginary component {m}")
         covmean = covmean.real
     tr_covmean = np.trace(covmean)
-
-    if not np.isfinite(covmean).all():
-        warnings.warn("FID covariance product nearly singular; using eps fallback")
-        offset = np.eye(sigma1.shape[0]) * eps
-        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
-        if np.iscomplexobj(covmean):
-            covmean = covmean.real
-        tr_covmean = np.trace(covmean)
 
     fid = float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * tr_covmean)
     if not np.isfinite(fid):

@@ -217,22 +217,35 @@ class TokenizerEvaluator:
         if self._codebook_set:
             presence[np.asarray(sorted(self._codebook_set), np.int64)] = 1.0
 
+        # gate each allgather on the metric's enable flag: the two 2048x2048
+        # f64 rFID sigmas alone are 32 MB each, pure zeros when rFID is off
+        # (the no-inception-weights fallback). Flags come from config, so
+        # every host takes the SAME sequence of collectives.
         self._num_examples = int(total(self._num_examples))
         self._num_updates = int(total(self._num_updates))
-        self._mae_sum = float(total(self._mae_sum))
-        self._mse_sum = float(total(self._mse_sum))
-        self._psnr_sum = float(total(self._psnr_sum))
-        self._ssim_sum = float(total(self._ssim_sum))
-        self._lpips_sum = float(total(self._lpips_sum))
-        self._is_prob_total = total(self._is_prob_total)
-        self._is_total_kl_d = total(self._is_total_kl_d)
-        self._rfid_real_total = total(self._rfid_real_total)
-        self._rfid_fake_total = total(self._rfid_fake_total)
-        self._rfid_real_sigma = total(self._rfid_real_sigma)
-        self._rfid_fake_sigma = total(self._rfid_fake_sigma)
-        merged_presence = np.minimum(total(presence), 1.0)
-        self._codebook_set = set(np.nonzero(merged_presence)[0].tolist())
-        self._codebook_frequencies = total(self._codebook_frequencies)
+        if self._enable_mae_error:
+            self._mae_sum = float(total(self._mae_sum))
+        if self._enable_mse_error:
+            self._mse_sum = float(total(self._mse_sum))
+        if self._enable_psnr_score:
+            self._psnr_sum = float(total(self._psnr_sum))
+        if self._enable_ssim_score:
+            self._ssim_sum = float(total(self._ssim_sum))
+        if self._enable_lpips_score:
+            self._lpips_sum = float(total(self._lpips_sum))
+        if self._enable_inception_score:
+            self._is_prob_total = total(self._is_prob_total)
+            self._is_total_kl_d = total(self._is_total_kl_d)
+        if self._enable_rfid:
+            self._rfid_real_total = total(self._rfid_real_total)
+            self._rfid_fake_total = total(self._rfid_fake_total)
+            self._rfid_real_sigma = total(self._rfid_real_sigma)
+            self._rfid_fake_sigma = total(self._rfid_fake_sigma)
+        if self._enable_codebook_usage_measure:
+            merged_presence = np.minimum(total(presence), 1.0)
+            self._codebook_set = set(np.nonzero(merged_presence)[0].tolist())
+        if self._enable_codebook_entropy_measure:
+            self._codebook_frequencies = total(self._codebook_frequencies)
 
     def merge_from(self, other: "TokenizerEvaluator") -> None:
         """Sum another evaluator's accumulators into this one (multi-host

@@ -114,11 +114,14 @@ _PARAM_RULES = [
     (re.compile(r".*/(qkv|fc1)/kernel$"), P(None, "tensor")),
     (re.compile(r".*/(out_proj|fc2)/kernel$"), P("tensor", None)),
     (re.compile(r".*/(qkv|fc1)/bias$"), P("tensor")),
+    (re.compile(r".*/prediction_layer/kernel$"), P(None, "tensor")),
     # embeddings: shard vocab dim over fsdp
     (re.compile(r".*/embedding$"), P("fsdp", None)),
-    # conv kernels: shard output channels over fsdp when large
+    # conv kernels: shard output channels over fsdp when large. Keep this
+    # 4-dim catch-all LAST: specific 2-dim rules above must win first-match
+    # (the rank-mismatch `continue` in _spec_for is a fallback, not the
+    # mechanism specific rules should rely on).
     (re.compile(r".*/kernel$"), P(None, None, None, "fsdp")),
-    (re.compile(r".*/prediction_layer/kernel$"), P(None, "tensor")),
 ]
 
 

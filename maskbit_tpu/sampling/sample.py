@@ -147,7 +147,6 @@ def sample_tokens(
     num_samples = labels.shape[0]
     spatial_size = cfg.patch_size**2
     num_splits = cfg.codebook_splits
-    num_maskable = spatial_size * num_splits
 
     init_tokens = jnp.full(
         (num_samples, spatial_size, num_splits), cfg.mask_token, dtype=jnp.int32
@@ -237,5 +236,8 @@ def default_labels(num_samples: int, key: Optional[jax.Array] = None) -> jnp.nda
         key = jax.random.key(0)
     rand = jax.random.randint(key, (1,), 0, 999)
     base = jnp.concatenate([jnp.asarray(DEFAULT_LABELS, jnp.int32), rand.astype(jnp.int32)])
+    # reference quirk (sampling.py:60-63), replicated deliberately: reps
+    # FLOORS, so e.g. 15 requested -> 10 labels returned. Callers derive
+    # their count from the returned shape; do NOT 'fix' to ceil - parity.
     reps = max(1, num_samples // 10)
     return jnp.tile(base, reps)[:num_samples]

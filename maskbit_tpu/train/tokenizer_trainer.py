@@ -123,6 +123,22 @@ def make_tokenizer_train_step(
 
     batch_disc_passes = isinstance(discriminator, NLayerDiscriminatorv2)
 
+    if batch_disc_passes:
+        def disc_apply(disc_params, x):
+            return discriminator.apply({"params": disc_params}, x)
+    else:
+        def disc_apply(disc_params, x):
+            # Pix2Pix BatchNorm disc: torch train() mode normalizes by the
+            # BATCH statistics — running averages are a side effect the
+            # train-only discriminator never consumes, so compute batch
+            # stats per call and discard the updates (flax creates the
+            # mutable collection lazily; storing it in the train state
+            # would change the state pytree for the common v2 path).
+            out, _ = discriminator.apply(
+                {"params": disc_params}, x, train=True, mutable=["batch_stats"]
+            )
+            return out
+
     def perceptual_fn(perceptual_vars, a, b):
         if perceptual_apply is None:
             return jnp.zeros(())
@@ -140,7 +156,7 @@ def make_tokenizer_train_step(
             gen_vars = {"params": gen_params}
             reconstructions, extra = model.apply(gen_vars, images, train=True)
 
-            logits_fake = discriminator.apply({"params": state.disc_params}, reconstructions)
+            logits_fake = disc_apply(state.disc_params, reconstructions)
 
             d_weight = jnp.ones(())
             if use_adaptive:
@@ -159,7 +175,7 @@ def make_tokenizer_train_step(
                     (nll_grads,) = vjp_fn(nll_cot)
                     g_cot = jax.grad(
                         lambda r: gan.G_LOSSES[loss_cfg.discriminator_loss](
-                            discriminator.apply({"params": state.disc_params}, r)
+                            disc_apply(state.disc_params, r)
                         )
                     )(recons2)
                     (g_grads,) = vjp_fn(g_cot)
@@ -202,17 +218,17 @@ def make_tokenizer_train_step(
                     # halves launch count and feeds the MXU better. (The
                     # BatchNorm 'Original' disc must keep separate passes:
                     # its train-mode batch stats differ, reference parity.)
-                    both = discriminator.apply(
-                        {"params": disc_params},
+                    both = disc_apply(
+                        disc_params,
                         jnp.concatenate(
                             [images, lax.stop_gradient(reconstructions)], axis=0
                         ),
                     )
                     logits_real, logits_fake = jnp.split(both, 2, axis=0)
                 else:
-                    logits_real = discriminator.apply({"params": disc_params}, images)
-                    logits_fake = discriminator.apply(
-                        {"params": disc_params}, lax.stop_gradient(reconstructions)
+                    logits_real = disc_apply(disc_params, images)
+                    logits_fake = disc_apply(
+                        disc_params, lax.stop_gradient(reconstructions)
                     )
                 from maskbit_tpu.losses.vqgan import discriminator_loss as d_loss_fn
 

@@ -290,6 +290,46 @@ def test_generator_step_buffer_donation():
     _assert_state_trees_equal(ref_state, new_state)
 
 
+def test_original_batchnorm_discriminator_trains():
+    """The Pix2Pix (BatchNorm) discriminator through the REAL train step:
+    round-3 review found it crashed with ScopeCollectionNotFound because
+    init dropped the batch_stats collection — the step now applies it in
+    torch-train()-equivalent batch-stats mode (lazily created, discarded).
+    Covers the gen pass, the adaptive-weight vjp, and the separate
+    real/fake disc passes (BatchNorm must NOT take the concat fast path)."""
+    from maskbit_tpu.nn.discriminator import OriginalNLayerDiscriminator
+
+    disc = OriginalNLayerDiscriminator(num_channels=3, hidden_channels=16, num_stages=2)
+    loss_cfg = VQGANLossConfig(
+        reconstruction_loss="l2", reconstruction_weight=1.0, quantizer_weight=1.0,
+        perceptual_loss="none", perceptual_weight=0.0,
+        discriminator_loss="hinge", discriminator_factor=1.0,
+        discriminator_weight=0.1, discriminator_start=0,
+        discriminator_gradient_penalty="adopt_weight",
+        lecam_regularization_weight=0.001,
+    )
+    gen_tx = make_optimizer(1e-3, max_grad_norm=1.0)
+    disc_tx = make_optimizer(1e-3, max_grad_norm=1.0)
+    state = init_tokenizer_train_state(
+        TOKENIZER, disc, gen_tx, disc_tx, jax.random.key(0), IMG, use_ema=True
+    )
+    step_fn = jax.jit(
+        make_tokenizer_train_step(TOKENIZER, disc, gen_tx, disc_tx, loss_cfg)
+    )
+    images = jnp.asarray(np.random.default_rng(8).uniform(size=IMG), jnp.float32)
+    disc_params_0 = jax.tree.map(np.asarray, state.disc_params)
+    for i in range(2):
+        state, metrics = step_fn(state, images, None, jax.random.key(i))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert np.isfinite(float(metrics["discriminator_loss"]))
+    assert np.isfinite(float(metrics["d_weight"]))
+    changed = jax.tree.map(
+        lambda a, b: not np.array_equal(a, np.asarray(b)),
+        disc_params_0, state.disc_params,
+    )
+    assert any(jax.tree.leaves(changed)), "BatchNorm discriminator must train"
+
+
 def test_generator_remat_matches_nonremat():
     """model.mlm_model.remat=true (per-layer jax.checkpoint) must not change
     the training numerics: with counter-based threefry keys the dropout
