@@ -64,6 +64,22 @@ class CheckpointManager:
         if jax.process_index() == 0:
             with open(os.path.join(self.directory, f"metadata-{step}.json"), "w") as f:
                 json.dump(meta, f)
+            # prune metadata for steps Orbax's max_to_keep has deleted: a
+            # stale file would point resume tooling at a checkpoint that no
+            # longer exists
+            live = set(self._manager.all_steps())
+            for name in os.listdir(self.directory):
+                if not (name.startswith("metadata-") and name.endswith(".json")):
+                    continue
+                try:
+                    s = int(name[len("metadata-"):-len(".json")])
+                except ValueError:
+                    continue
+                if s not in live and s != step:
+                    try:
+                        os.remove(os.path.join(self.directory, name))
+                    except OSError:
+                        pass
 
     def wait(self) -> None:
         """Block until any in-flight async save has committed."""

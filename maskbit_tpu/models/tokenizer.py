@@ -44,6 +44,7 @@ def _make_quantizer(cfg: "TokenizerSpec"):
             entropy_loss_weight=cfg.entropy_loss_weight,
             entropy_loss_temperature=cfg.entropy_loss_temperature,
             entropy_gamma=cfg.entropy_gamma,
+            entropy_chunk_size=cfg.entropy_chunk_size,
             name="quantize",
         )
     if cfg.quantizer_type == "vae":
@@ -64,9 +65,12 @@ class ConvVQModel(nn.Module):
     codebook_size: int = 4096
     quantizer_type: str = "lookup-free"
     commitment_cost: float = 0.25
-    entropy_loss_weight: float = 0.02
+    # same default as from_config's absent-key fallback: the two
+    # construction paths must build the same training loss
+    entropy_loss_weight: float = 0.0
     entropy_loss_temperature: float = 0.01
     entropy_gamma: float = 1.0
+    entropy_chunk_size: int = 4096  # streamed-entropy chunk (>=14-bit LFQ)
     use_l2_normalisation: bool = False
     sample_with_conv: bool = True
     legacy: bool = False
@@ -93,6 +97,7 @@ class ConvVQModel(nn.Module):
             entropy_loss_weight=cfg.get("entropy_loss_weight", 0.0),
             entropy_loss_temperature=cfg.get("entropy_loss_temperature", 0.01),
             entropy_gamma=cfg.get("entropy_gamma", 1.0),
+            entropy_chunk_size=cfg.get("entropy_chunk_size", 4096),
             use_l2_normalisation=cfg.get("use_l2_normalisation", False),
             sample_with_conv=cfg.get("sample_with_conv", True),
             legacy=legacy,

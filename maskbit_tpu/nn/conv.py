@@ -176,9 +176,12 @@ class ConvDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, z_quantized: jnp.ndarray) -> jnp.ndarray:
+        # explicit None check, not `or`: the reference's cfg.get semantics
+        # honor num_res_blocks_decoder: 0 (zero decoder res blocks per stage)
         num_res_blocks = (
-            self.num_res_blocks if self.legacy
-            else (self.num_res_blocks_decoder or self.num_res_blocks)
+            self.num_res_blocks
+            if self.legacy or self.num_res_blocks_decoder is None
+            else self.num_res_blocks_decoder
         )
         block_in = self.hidden_channels * self.channel_mult[self.num_resolutions - 1]
         in_channel_mult = tuple(self.channel_mult) + (self.channel_mult[-1],)

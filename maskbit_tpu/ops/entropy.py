@@ -83,6 +83,12 @@ def lfq_entropy_terms(
         affinity = 2.0 * dot(rows, cb.T)
         return entropy_loss_fn(affinity, temperature, entropy_gamma)
 
+    # the chunked scan reshapes the 2^K codebook into equal chunks, so
+    # round a non-power-of-two chunk_size down to the nearest power of two
+    # (always a divisor of 2^K) instead of crashing at trace time
+    if n_codes % chunk_size != 0:
+        chunk_size = 1 << (chunk_size.bit_length() - 1)
+
     # log Z per row, exact: sum_k log(2 cosh(2 z_k / T))
     log_z = jnp.sum(_log2cosh(2.0 * rows * inv_t), axis=-1)  # (R,)
 

@@ -161,3 +161,24 @@ def test_metadata_written_only_after_commit(tmp_path):
     import json as _json
 
     assert _json.load(open(meta))["global_step"] == 5
+
+
+def test_metadata_pruned_with_max_to_keep(tmp_path):
+    """Orbax deletes old checkpoints at max_to_keep; the matching
+    metadata-{step}.json must not outlive them (a stale file would point
+    resume tooling at a nonexistent checkpoint)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from maskbit_tpu.core.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=1)
+    state = {"w": jnp.ones((2,))}
+    for step in (1, 2, 3):
+        mgr.save(step, state, blocking=True)
+    mgr.wait()
+    metas = sorted(p for p in os.listdir(tmp_path / "ck")
+                   if p.startswith("metadata-"))
+    assert metas == ["metadata-3.json"], metas
+    mgr.close()

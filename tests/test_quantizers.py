@@ -112,3 +112,49 @@ def test_vq_l2_normalisation(rng):
     z_q, _ = quantizer.apply(params, z)
     norms = np.linalg.norm(np.asarray(z_q), axis=-1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_lfq_entropy_chunk_size_non_divisor():
+    """A chunk_size that doesn't divide 2^K (e.g. a hand-set 5000) must not
+    crash the streamed entropy scan — it rounds down to a power of two —
+    and the result must equal the dense computation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maskbit_tpu.ops.entropy import entropy_loss_fn, lfq_codebook, lfq_entropy_terms
+
+    z = jnp.asarray(np.random.default_rng(0).normal(size=(2, 4, 4, 14)), jnp.float32)
+    per, avg = lfq_entropy_terms(z, 14, 0.01, 1.0, chunk_size=5000)
+    rows = z.reshape(-1, 14)
+    cb = lfq_codebook(14)
+    affinity = 2.0 * jnp.matmul(rows, cb.T, precision=jax.lax.Precision.HIGHEST)
+    per_d, avg_d = entropy_loss_fn(affinity, 0.01, 1.0)
+    # chunked scan reassociates the f32 sums at T=0.01: ~1e-3 relative
+    np.testing.assert_allclose(float(per), float(per_d), rtol=2e-3)
+    np.testing.assert_allclose(float(avg), float(avg_d), rtol=2e-3)
+
+
+def test_decoder_honors_zero_res_blocks():
+    """num_res_blocks_decoder: 0 must build ZERO decoder res blocks per
+    stage (reference cfg.get semantics) — the old `or` fallback silently
+    substituted num_res_blocks."""
+    import jax
+    import jax.numpy as jnp
+
+    from maskbit_tpu.nn.conv import ConvDecoder
+
+    kwargs = dict(num_channels=3, hidden_channels=32, channel_mult=(1, 2),
+                  num_resolutions=2, num_res_blocks=2, token_size=4)
+    dec0 = ConvDecoder(num_res_blocks_decoder=0, **kwargs)
+    v0 = dec0.init(jax.random.key(0), jnp.zeros((1, 4, 4, 4)))
+    up_keys = [k for k in v0["params"] if k.startswith("up_")]
+    assert up_keys, "decoder must still have upsampling stages"
+    for k in up_keys:
+        blocks = [b for b in v0["params"][k] if b.startswith("res_blocks_")]
+        assert blocks == [], f"{k} built res blocks {blocks} despite 0"
+    dec_default = ConvDecoder(num_res_blocks_decoder=None, **kwargs)
+    vd = dec_default.init(jax.random.key(0), jnp.zeros((1, 4, 4, 4)))
+    assert any(
+        b.startswith("res_blocks_") for b in vd["params"][up_keys[0]]
+    ), "None must fall back to num_res_blocks"
