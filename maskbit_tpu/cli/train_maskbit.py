@@ -257,29 +257,40 @@ def main(argv=None):
                     f"{samples_per_sec / num_devices:.1f} samples/s/dev"
                 )
 
-            if global_step % generate_every == 0 and is_main_process():
-                rng_step, sub = jax.random.split(rng_step)
-                gen_images, _ = sampler(
-                    {"params": _eval_params(state)}, tokenizer_vars, sub,
-                    jnp.asarray(batch["class_id"][:num_gen]),
-                )
-                _, grid = make_viz_generated_stage_two(np.asarray(jnp.clip(gen_images, 0, 1)))
-                tracker.log_image("train/generated", grid, global_step)
+            if global_step % generate_every == 0:
+                # split on EVERY host (keeps the per-host rng streams in
+                # lockstep) and gather the EMA params + viz tokens — a
+                # collective when fsdp/tensor span processes, where reading
+                # them from main-only host code would crash/deadlock
+                from maskbit_tpu.parallel.mesh import host_accessible
 
-                # decode ground-truth vs argmax-predicted tokens
-                # (reference reconstructed_and_predicted_images :602-646)
-                _log_decoded_pair(
-                    tokenizer, tokenizer_vars, viz_payload, vq_cfg, mlm_cfg,
-                    num_gen, tracker, global_step,
-                )
+                rng_step, sub = jax.random.split(rng_step)
+                eval_params = host_accessible(_eval_params(state))
+                viz_payload = host_accessible(viz_payload)
+                if is_main_process():
+                    gen_images, _ = sampler(
+                        {"params": eval_params}, tokenizer_vars, sub,
+                        jnp.asarray(batch["class_id"][:num_gen]),
+                    )
+                    _, grid = make_viz_generated_stage_two(np.asarray(jnp.clip(gen_images, 0, 1)))
+                    tracker.log_image("train/generated", grid, global_step)
+
+                    # decode ground-truth vs argmax-predicted tokens
+                    # (reference reconstructed_and_predicted_images :602-646)
+                    _log_decoded_pair(
+                        tokenizer, tokenizer_vars, viz_payload, vq_cfg, mlm_cfg,
+                        num_gen, tracker, global_step,
+                    )
 
             if global_step % save_every == 0:
                 _save(ckpt, state, output_dir, global_step, logger)
                 last_saved = global_step
 
             if global_step % eval_every == 0:
+                from maskbit_tpu.parallel.mesh import host_accessible
+
                 results = _eval_generation(
-                    config, sampler, {"params": _eval_params(state)},
+                    config, sampler, {"params": host_accessible(_eval_params(state))},
                     tokenizer_vars, rng_step, logger,
                 )
                 if results:
@@ -347,13 +358,19 @@ def _eval_generation(config, sampler, gen_vars, tok_vars, rng, logger,
 
 
 def _save(ckpt, state, output_dir, step, logger):
+    from maskbit_tpu.parallel.mesh import host_accessible
+
     # async: device->host copy now, disk write overlaps with training
     ckpt.save(step, state)
+    # gather cross-host-sharded params for the host-side msgpack export
+    # (collective, so it runs on EVERY host; pass-through on a single host)
+    params = host_accessible(state.params)
+    ema_params = host_accessible(state.ema.params) if state.ema is not None else None
     if is_main_process():
-        save_pretrained(jax.device_get(state.params),
+        save_pretrained(jax.device_get(params),
                         os.path.join(output_dir, f"model-{step}.msgpack"))
-        if state.ema is not None:
-            save_pretrained(jax.device_get(state.ema.params),
+        if ema_params is not None:
+            save_pretrained(jax.device_get(ema_params),
                             os.path.join(output_dir, f"ema_model-{step}.msgpack"))
     logger.info(f"saved checkpoint @ step {step}")
 

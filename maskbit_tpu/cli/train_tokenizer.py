@@ -267,7 +267,9 @@ def main(argv=None):
                     f"{samples_per_sec / num_devices:.1f} samples/s/dev"
                 )
 
-            if global_step % generate_every == 0 and is_main_process():
+            if global_step % generate_every == 0:
+                # all hosts enter (the param gather inside is collective
+                # when fsdp/tensor span processes); only main logs
                 _log_reconstructions(model, state, batch, tracker, global_step,
                                      config.select("training.num_generated_images", 2))
 
@@ -292,32 +294,46 @@ def _eval_params(state):
 
 
 def _save(ckpt, state, model, output_dir, step, logger):
+    from maskbit_tpu.parallel.mesh import host_accessible
+
     # async: device->host copy now, disk write overlaps with training
     ckpt.save(step, state)
+    # the msgpack export reads params from host code: when fsdp/tensor span
+    # processes the leaves aren't fully addressable and device_get would
+    # raise — gather them (collective, so it runs on EVERY host) first
+    gen_params = host_accessible(state.gen_params)
+    ema_params = host_accessible(state.ema.params) if state.ema is not None else None
     if is_main_process():
         save_pretrained(
-            jax.device_get(state.gen_params),
+            jax.device_get(gen_params),
             os.path.join(output_dir, f"model-{step}.msgpack"),
         )
-        if state.ema is not None:
+        if ema_params is not None:
             save_pretrained(
-                jax.device_get(state.ema.params),
+                jax.device_get(ema_params),
                 os.path.join(output_dir, f"ema_model-{step}.msgpack"),
             )
     logger.info(f"saved checkpoint @ step {step}")
 
 
 def _log_reconstructions(model, state, batch, tracker, step, num_images):
-    images = jnp.asarray(batch["image"][:num_images])
-    recons, _ = model.apply({"params": _eval_params(state)}, images)
+    from maskbit_tpu.parallel.mesh import host_accessible
+
+    # collective when params are cross-host-sharded: all hosts call this
+    params = host_accessible(_eval_params(state))
+    if not is_main_process():
+        return
+    images = np.asarray(batch["image"][:num_images])
+    recons, _ = model.apply({"params": params}, images)
     recons = jnp.clip(recons, 0.0, 1.0)
-    _, grid = make_viz_from_samples(np.asarray(images), np.asarray(recons))
+    _, grid = make_viz_from_samples(images, np.asarray(recons))
     tracker.log_image("train/reconstructions", grid, step)
 
 
 def _eval_reconstruction(model, state, eval_loader, config, max_batches: int = 50):
     """In-training streaming eval (reference eval_reconstruction :553-575)."""
     from maskbit_tpu.eval.streaming import TokenizerEvaluator
+    from maskbit_tpu.parallel.mesh import host_accessible
 
     evaluator = TokenizerEvaluator(
         enable_psnr_score=True, enable_ssim_score=True,
@@ -325,7 +341,9 @@ def _eval_reconstruction(model, state, eval_loader, config, max_batches: int = 5
         enable_codebook_usage_measure=True, enable_codebook_entropy_measure=True,
         num_codebook_entries=config.select("model.vq_model.codebook_size", 1024),
     )
-    params = {"params": _eval_params(state)}
+    # gather cross-host-sharded params (collective; pass-through otherwise)
+    # so each host evaluates its shard split with purely local compute
+    params = {"params": host_accessible(_eval_params(state))}
     apply_fn = jax.jit(lambda v, x: model.apply(v, x))
     for i, batch in enumerate(eval_loader):
         if i >= max_batches:

@@ -230,6 +230,39 @@ def process_allgather_f64(x) -> np.ndarray:
     return gathered.view(np.float64).reshape((gathered.shape[0],) + x.shape)
 
 
+def host_accessible(tree):
+    """Make every array leaf of `tree` readable from host code.
+
+    Fully addressable leaves pass through UNCHANGED (still on device — no
+    transfer; over the TPU relay a forced fetch of flagship params would cost
+    ~20 s). Leaves whose shards span processes (fsdp/tensor axes crossing
+    host boundaries on a pod) are resharded to fully-replicated and fetched
+    as numpy via `process_allgather`.
+
+    Fully-REPLICATED leaves that span processes (plain data-parallel pods)
+    also pass through: each host's local shard is the whole value, and JAX
+    reads them directly — only genuinely cross-host-SHARDED leaves gather.
+
+    COLLECTIVE when any leaf is cross-host-sharded: every process must call
+    it at the same point (the periodic save/viz/eval blocks in the train
+    CLIs do — their cadence is a pure function of the global step). Without
+    this, `jax.device_get(state.gen_params)` in a main-process-only export
+    raises on non-addressable arrays and an un-jitted `model.apply` on them
+    deadlocks the pod."""
+    from jax.experimental import multihost_utils
+
+    def fix(x):
+        if isinstance(x, jax.Array) and not (
+            x.is_fully_addressable or x.is_fully_replicated
+        ):
+            # tiled=True: concatenate the per-process shards back into the
+            # global value (the only mode JAX supports for global arrays)
+            return multihost_utils.process_allgather(x, tiled=True)
+        return x
+
+    return jax.tree.map(fix, tree)
+
+
 def is_main_process() -> bool:
     return jax.process_index() == 0
 

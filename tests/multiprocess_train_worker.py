@@ -1,12 +1,15 @@
-"""Worker: run the REAL train_tokenizer CLI under 2-process jax.distributed.
+"""Worker: run a REAL train CLI under N-process jax.distributed.
 
-Spawned by tests/test_multiprocess.py::test_train_cli_two_processes. This is
-the closest local equivalent of a pod launch: every process runs the same
-training script, jax.distributed joins them, the global batch is assembled
-from per-host slices (global_batch_array), grads reduce across processes via
-GSPMD, checkpoint writes coordinate through Orbax, and the in-train eval
-merges accumulators with merge_across_hosts — the contract `accelerate
-launch` provides the reference (scripts/train_tokenizer.py:61-67).
+Spawned by tests/test_multiprocess.py. This is the closest local equivalent
+of a pod launch: every process runs the same training script,
+jax.distributed joins them, the global batch is assembled from per-host
+slices (global_batch_array), grads reduce across processes via GSPMD,
+checkpoint writes coordinate through Orbax, and the in-train eval merges
+accumulators with merge_across_hosts — the contract `accelerate launch`
+provides the reference (scripts/train_tokenizer.py:61-67).
+
+argv: pid nproc port workspace config_path [cli] [devices_per_proc]
+  cli: "tokenizer" (default) or "maskbit"
 """
 
 import json
@@ -20,8 +23,12 @@ def main() -> None:
     port = sys.argv[3]
     workspace = sys.argv[4]
     config_path = sys.argv[5]
+    cli = sys.argv[6] if len(sys.argv) > 6 else "tokenizer"
+    devices_per_proc = sys.argv[7] if len(sys.argv) > 7 else "2"
 
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devices_per_proc}"
+    )
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["WORKSPACE"] = workspace
     import jax
@@ -32,12 +39,23 @@ def main() -> None:
     )
     assert jax.process_count() == nproc
 
-    from maskbit_tpu.cli.train_tokenizer import main as train_main
+    import yaml
 
+    with open(config_path) as f:
+        exp_name = yaml.safe_load(f)["experiment"]["name"]
+
+    if cli == "maskbit":
+        from maskbit_tpu.cli.train_maskbit import main as train_main
+
+        loss_key = "mlm_loss"
+    else:
+        from maskbit_tpu.cli.train_tokenizer import main as train_main
+
+        loss_key = "total_loss"
     train_main([f"config={config_path}"])
 
     # every process reports what it observed; the test asserts on these
-    out_dir = os.path.join(workspace, "mp_tok")
+    out_dir = os.path.join(workspace, exp_name)
     metrics_path = os.path.join(out_dir, "metrics.jsonl")
     result = {
         "pid": pid,
@@ -48,8 +66,8 @@ def main() -> None:
         with open(metrics_path) as f:
             for line in f:
                 m = json.loads(line)
-                if "total_loss" in m:
-                    result["losses"].append(m["total_loss"])
+                if loss_key in m:
+                    result["losses"].append(m[loss_key])
     with open(os.path.join(workspace, f"train_result_{pid}.json"), "w") as f:
         json.dump(result, f)
     print(f"train worker {pid}: done", flush=True)

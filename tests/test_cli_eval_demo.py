@@ -242,3 +242,57 @@ def test_eval_maskbit_cli_sharded_sampler(tmp_path, monkeypatch):
     })
     results = em.main([f"config={cfg}"])
     assert results == {}  # no inception weights: sampling ran, metrics skipped
+
+
+def test_eval_maskbit_cli_sharded_batch_rounding(tmp_path, monkeypatch):
+    """eval batch NOT divisible by the data-axis size: rounded UP to a
+    shard multiple (the old behavior fell back to a single-device sampler —
+    8x slower for the default batch 100 on an 8-device host) while still
+    scoring exactly total_samples via the pad-row trimming."""
+    import jax.numpy as jnp
+
+    import maskbit_tpu.cli.eval_maskbit as em
+    import maskbit_tpu.sampling.serve as serve_mod
+
+    def stub_inception_fn():
+        proj = np.asarray(
+            np.random.default_rng(0).normal(size=(3, 2048)), np.float32
+        )
+        def fn(images_255):
+            pooled = jnp.mean(images_255 / 255.0, axis=(1, 2))
+            feats = pooled @ jnp.asarray(proj)
+            return {"2048": feats, "logits_unbiased": feats[:, :1008]}
+        return fn
+
+    monkeypatch.setattr(em, "make_inception_fn", stub_inception_fn)
+    captured = {}
+    real_acc = em.AdmMomentAccumulator
+    monkeypatch.setattr(
+        em, "AdmMomentAccumulator",
+        lambda *a, **k: captured.setdefault("acc", real_acc(*a, **k)),
+    )
+    real_sharded = serve_mod.make_sharded_sampler
+
+    def tracking_sharded(*args, **kwargs):
+        captured["sharded"] = True
+        return real_sharded(*args, **kwargs)
+
+    monkeypatch.setattr(serve_mod, "make_sharded_sampler", tracking_sharded)
+
+    rng = np.random.default_rng(1)
+    ref_acts = rng.normal(size=(64, 2048))
+    stats_path = tmp_path / "ref_stats.npz"
+    np.savez(stats_path, mu=ref_acts.mean(0), sigma=np.cov(ref_acts, rowvar=False))
+
+    monkeypatch.setenv("WORKSPACE", str(tmp_path / "ws"))
+    cfg = _cfg(tmp_path, "eval_gen_round", {
+        "model.mlm_model": TINY_MLM,
+        "eval.total_samples": 10,
+        "eval.batch_size": 3,  # NOT divisible by the 8-device data axis
+        "eval.stats_path": str(stats_path),
+        "experiment.generator_checkpoint": "",
+    })
+    results = em.main([f"config={cfg}"])
+    assert captured.get("sharded"), "must stay on the mesh-sharded sampler"
+    assert captured["acc"].count == 10
+    assert np.isfinite(results["FID"]) and results["FID"] > 0

@@ -297,6 +297,163 @@ def test_train_cli_sigterm_one_host_stops_all(tmp_path):
     assert any(p.startswith("metadata-") for p in os.listdir(ckpt_dir))
 
 
+def test_train_cli_model_axes_across_processes(tmp_path):
+    """The full train_tokenizer CLI on a 4-process x 2-device data=2 x
+    fsdp=2 x tensor=2 mesh: the fsdp plane spans process boundaries, so the
+    param/EMA leaves are NOT fully addressable. Exercises every periodic
+    host-side path under cross-host sharding — the msgpack export in _save,
+    the reconstruction viz, and the in-train eval — which must gather
+    through `host_accessible` (a collective) instead of device_get-ing
+    non-addressable arrays on the main process only."""
+    import yaml
+
+    nproc = 4
+    cfg = {
+        "experiment": {"name": "mp_tok_axes", "max_train_examples": 64,
+                       "save_every": 2, "eval_every": 3, "generate_every": 2,
+                       "log_every": 1, "logger": "jsonl", "resume": True},
+        "parallel": {"data": 2, "fsdp": 2, "tensor": 2},
+        "model": {
+            "vq_model": {
+                "model_class": "vqgan+", "quantizer_type": "lookup-free",
+                "codebook_size": 16, "token_size": 4, "commitment_cost": 0.25,
+                "entropy_loss_weight": 0.01, "entropy_loss_temperature": 0.01,
+                "entropy_gamma": 1.0, "num_channels": 3, "hidden_channels": 32,
+                "channel_mult": [1, 2], "num_resolutions": 2, "num_res_blocks": 1,
+                "sample_with_conv": True,
+            },
+            "discriminator": {"name": "VQGAN+Discriminator", "num_channels": 3,
+                              "num_stages": 1, "hidden_channels": 32,
+                              "blur_resample": True, "blur_kernel_size": 4},
+        },
+        "losses": {
+            "quantizer_weight": 1.0, "perceptual_loss": "none",
+            "perceptual_weight": 0.0, "reconstruction_loss": "l2",
+            "reconstruction_weight": 1.0, "discriminator_start": 1,
+            "discriminator_loss": "hinge", "discriminator_factor": 1.0,
+            "discriminator_weight": 0.1, "discriminator_gradient_penalty": "none",
+            "discriminator_penalty_cost": 10.0, "lecam_regularization_weight": 0.001,
+        },
+        "dataset": {
+            "params": {"train_shards_path_or_url": "/nonexistent/{0000..0001}.tar",
+                       "eval_shards_path_or_url": "/nonexistent/{0000..0001}.tar"},
+            "preprocessing": {"resolution": 32, "use_aspect_ratio_aug": False,
+                              "use_random_crop": False, "min_scale": 0.8,
+                              "interpolation": "bilinear"},
+        },
+        "optimizer": {"name": "adamw", "params": {"learning_rate": 1e-3}},
+        "lr_scheduler": {"scheduler": "constant", "params": {}},
+        "training": {"gradient_accumulation_steps": 1, "per_device_batch_size": 2,
+                     "mixed_precision": "no", "use_ema": True, "seed": 0,
+                     "max_train_steps": 3, "overfit_batch": False,
+                     "num_generated_images": 1, "max_grad_norm": 1.0},
+    }
+    config_path = tmp_path / "cfg.yaml"
+    config_path.write_text(yaml.safe_dump(cfg))
+    workspace = tmp_path / "ws"
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    port = _free_port()
+    worker = os.path.join(REPO, "tests", "multiprocess_train_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), str(nproc), str(port),
+             str(workspace), str(config_path), "tokenizer", "2"],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(nproc)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"axes train worker {pid} failed:\n{out[-6000:]}"
+
+    results = []
+    for pid in range(nproc):
+        with open(workspace / f"train_result_{pid}.json") as f:
+            results.append(json.load(f))
+
+    out_dir = workspace / "mp_tok_axes"
+    assert results[0]["metrics_exists"]
+    assert len(results[0]["losses"]) == 3
+    assert all(abs(l) < 1e6 for l in results[0]["losses"])
+    # _save's msgpack export survived non-addressable params (steps 2 and 3)
+    assert (out_dir / "model-2.msgpack").exists()
+    assert (out_dir / "model-3.msgpack").exists()
+    assert (out_dir / "ema_model-3.msgpack").exists()
+    # the reconstruction viz at step 2 was written by the main process
+    images = os.listdir(out_dir / "images")
+    assert any(p.startswith("train_reconstructions") for p in images)
+    # the in-train eval at step 3 logged merged metrics
+    with open(out_dir / "metrics.jsonl") as f:
+        assert any("eval/PSNR" in line for line in f)
+
+
+def test_train_maskbit_cli_model_axes_across_processes(tmp_path):
+    """train_maskbit on the same 4-process cross-host fsdp/tensor mesh:
+    the generate block (sampler + decoded-pair viz from sharded metrics
+    payloads) and the msgpack export run with non-addressable params."""
+    import yaml
+
+    from test_cli_eval_demo import DATASET, TINY_MLM, TINY_VQ
+
+    nproc = 4
+    cfg = {
+        "experiment": {"name": "mp_gen_axes", "max_train_examples": 64,
+                       "save_every": 2, "eval_every": 100, "generate_every": 2,
+                       "log_every": 1, "logger": "jsonl", "resume": True,
+                       "vqgan_checkpoint": ""},
+        "parallel": {"data": 2, "fsdp": 2, "tensor": 2},
+        "model": {"vq_model": TINY_VQ, "mlm_model": TINY_MLM},
+        "losses": {"mlm": {"label_smoothing": 0.1, "loss_weight_unmasked_token": 0.0}},
+        "dataset": DATASET,
+        "optimizer": {"name": "adamw", "params": {"learning_rate": 1e-3}},
+        "lr_scheduler": {"scheduler": "constant", "params": {}},
+        "training": {"gradient_accumulation_steps": 1, "per_device_batch_size": 2,
+                     "mixed_precision": "no", "use_ema": True, "seed": 0,
+                     "max_train_steps": 3, "overfit_batch": False,
+                     "num_generated_images": 2, "max_grad_norm": 1.0},
+    }
+    config_path = tmp_path / "cfg.yaml"
+    config_path.write_text(yaml.safe_dump(cfg))
+    workspace = tmp_path / "ws"
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    port = _free_port()
+    worker = os.path.join(REPO, "tests", "multiprocess_train_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), str(nproc), str(port),
+             str(workspace), str(config_path), "maskbit", "2"],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(nproc)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"axes maskbit worker {pid} failed:\n{out[-6000:]}"
+
+    results = []
+    for pid in range(nproc):
+        with open(workspace / f"train_result_{pid}.json") as f:
+            results.append(json.load(f))
+
+    out_dir = workspace / "mp_gen_axes"
+    assert results[0]["metrics_exists"]
+    assert len(results[0]["losses"]) == 3
+    assert (out_dir / "model-2.msgpack").exists()
+    assert (out_dir / "model-3.msgpack").exists()
+    # the generate block at step 2 sampled + decoded under sharded state
+    images = os.listdir(out_dir / "images")
+    assert any(p.startswith("train_generated") for p in images)
+    assert any(p.startswith("train_decoded") for p in images)
+
+
 def test_eval_cli_two_processes(tmp_path):
     """The full eval_maskbit CLI under 2-process jax.distributed: each host
     samples its strided label share on a per-host mesh, ADM moments merge
