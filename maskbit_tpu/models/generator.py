@@ -51,6 +51,10 @@ class _GeneratorBase(nn.Module):
     # 0.0 drops the (b, h, n, n) attention dropout masks — the dominant
     # training residual at seq 1025 (512px) — while keeping hidden dropout
     attention_dropout: "float | None" = None
+    # training-mode attention dropout through the Pallas in-kernel-mask
+    # path (nn/pallas_attention.dropout_attention): reference semantics at
+    # near-dropout-free speed (the HBM mask is elided)
+    fused_attention_dropout: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -94,6 +98,7 @@ class _GeneratorBase(nn.Module):
             remat=mlm_cfg.get("remat", False),
             attention_impl=mlm_cfg.get("attention_impl", "einsum"),
             attention_dropout=mlm_cfg.get("attention_dropout", None),
+            fused_attention_dropout=mlm_cfg.get("fused_attention_dropout", False),
             dtype=dtype,
         )
 
@@ -120,6 +125,7 @@ class _GeneratorBase(nn.Module):
             remat=self.remat,
             attention_impl=self.attention_impl,
             attention_dropout=self.attention_dropout,
+            fused_dropout=self.fused_attention_dropout,
             dtype=self.dtype,
             name="transformer",
         )(x, deterministic=deterministic)

@@ -88,6 +88,236 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return jnp.swapaxes(out, 1, 2)
 
 
+# --- training attention with in-kernel dropout ------------------------------
+#
+# Attention-prob dropout is the dominant Stage-II training residual: XLA must
+# materialize the (b, h, n, n) mask in HBM (rbg bits are cheap to draw but
+# not recomputable; threefry is recomputable but costs ~60 ms/step to draw at
+# this shape — BENCHMARKS.md rounds 2-3), and the fwd+bwd mask traffic costs
+# ~22% of the whole 256px train step. Here the mask never exists in HBM: the
+# forward kernel computes it from a counter-based hash of
+# (row, col, layer seed, program id), and the backward kernel regenerates it
+# bit-exactly while recomputing softmax flash-style — so the only HBM
+# traffic is q/k/v/g and the outputs, same as dropout-free attention.
+# (Reference semantics: torch MHA applies dropout to the softmax
+# probabilities — modeling/bert.py:73-141; the mask distribution here is
+# Bernoulli(1-p) with 1/(1-p) scaling like nn.Dropout, only the bit stream
+# differs.)
+
+
+def _dropout_mask(shape, rate: float, seed, program):
+    """Bernoulli keep-mask: keep iff hash(row, col, seed, program) >=
+    rate * 2^32 (P(drop) = rate).
+
+    COUNTER-BASED, not stream-based: the Mosaic stream PRNG
+    (prng_seed/prng_random_bits) maps its bit stream onto a ragged
+    (n_pad, n_pad) array in a layout the fwd and bwd kernels do not agree
+    on (measured on v5e: same seed, same shape, different masks — the FD
+    gradient check catches it). A pure function of the element indices has
+    no such freedom: fwd and bwd regenerate bit-identical masks on any
+    backend, and the numpy replica below lets CPU tests check the math
+    exactly. Mixing is the murmur3 finalizer over a linear index combine —
+    avalanche quality far beyond what dropout needs, ~7 VPU integer ops."""
+    thr = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.uint32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.uint32)
+    mix = (rows * jnp.uint32(0x9E3779B1)
+           + cols * jnp.uint32(0x85EBCA77)
+           + seed.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D)
+           + program.astype(jnp.uint32) * jnp.uint32(0x7FEB352D))
+    mix = mix ^ (mix >> jnp.uint32(16))
+    mix = mix * jnp.uint32(0x85EBCA6B)
+    mix = mix ^ (mix >> jnp.uint32(13))
+    mix = mix * jnp.uint32(0xC2B2AE35)
+    mix = mix ^ (mix >> jnp.uint32(16))
+    return mix >= thr
+
+
+def hash_keep_mask_np(n_pad: int, rate: float, seed: int, program: int):
+    """Numpy replica of the in-kernel hash mask (for tests)."""
+    import numpy as np
+
+    thr = np.uint32(min(int(rate * 2**32), 2**32 - 1))
+    rows = np.arange(n_pad, dtype=np.uint32)[:, None]
+    cols = np.arange(n_pad, dtype=np.uint32)[None, :]
+    with np.errstate(over="ignore"):
+        mix = (rows * np.uint32(0x9E3779B1)
+               + cols * np.uint32(0x85EBCA77)
+               + np.uint32(np.int64(seed) & 0xFFFFFFFF) * np.uint32(0xC2B2AE3D)
+               + np.uint32(np.int64(program) & 0xFFFFFFFF) * np.uint32(0x7FEB352D))
+        mix = mix ^ (mix >> np.uint32(16))
+        mix = mix * np.uint32(0x85EBCA6B)
+        mix = mix ^ (mix >> np.uint32(13))
+        mix = mix * np.uint32(0xC2B2AE35)
+        mix = mix ^ (mix >> np.uint32(16))
+    return mix >= thr
+
+
+def _dropattn_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref,
+                         *, scale: float, valid_len: int, rate: float):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    n_pad = q.shape[0]
+    if valid_len < n_pad:
+        key_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, dimension=1)
+        logits = jnp.where(key_ids < valid_len, logits, -jnp.inf)
+    weights = jax.nn.softmax(logits, axis=-1)
+    keep = _dropout_mask(weights.shape, rate, seed_ref[0, 0], pl.program_id(0))
+    weights = jnp.where(keep, weights * (1.0 / (1.0 - rate)), 0.0)
+    out = jax.lax.dot_general(
+        weights.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _dropattn_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref,
+                         dq_ref, dk_ref, dv_ref,
+                         *, scale: float, valid_len: int, rate: float):
+    """Recompute softmax + the identical dropout mask, then dq/dk/dv."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    n_pad = q.shape[0]
+    if valid_len < n_pad:
+        key_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, dimension=1)
+        logits = jnp.where(key_ids < valid_len, logits, -jnp.inf)
+    weights = jax.nn.softmax(logits, axis=-1)          # pre-dropout, f32
+    keep = _dropout_mask(weights.shape, rate, seed_ref[0, 0], pl.program_id(0))
+    inv = 1.0 / (1.0 - rate)
+    dropped = jnp.where(keep, weights * inv, 0.0).astype(v.dtype)
+
+    # dv = dropped^T @ g
+    dv = jax.lax.dot_general(
+        dropped, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # d(dropped weights) = g @ v^T ; through dropout: keep * inv
+    dwd = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dw = jnp.where(keep, dwd * inv, 0.0)
+    # softmax backward on the PRE-dropout weights (f32)
+    dlog = weights * (dw - jnp.sum(dw * weights, axis=-1, keepdims=True))
+    dlog = (dlog * scale).astype(q.dtype)
+    dq = jax.lax.dot_general(
+        dlog, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dk = jax.lax.dot_general(
+        dlog, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _prep_bh(x, n_pad):
+    """(b, n, h, d) -> (b*h, n_pad, d) with zero padding."""
+    b, n, h, d = x.shape
+    x = jnp.swapaxes(x, 1, 2).reshape(b * h, n, d)
+    if n_pad != n:
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+    return x
+
+
+def _bh_specs(n_pad, d, count):
+    seed_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    data = [
+        pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        for _ in range(count)
+    ]
+    return [seed_spec] + data
+
+
+def _vmem_params(n_pad):
+    # bwd holds ~5 (n_pad, n_pad) f32 temporaries; past seq ~512 that blows
+    # the default ~16 MB scope — raise it (measured safe up to 100 MB on v5e)
+    if n_pad * n_pad * 4 * 5 > 12_000_000:
+        return {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)}
+    return {}
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _dropout_attention(rate, interpret, q, k, v, seed):
+    out, _ = _dropout_attention_fwd(rate, interpret, q, k, v, seed)
+    return out
+
+
+def _dropout_attention_fwd(rate, interpret, q, k, v, seed):
+    b, n, h, d = q.shape
+    sublane = 16 if q.dtype == jnp.bfloat16 else 8
+    n_pad = _round_up(n, sublane)
+    qp, kp, vp = (_prep_bh(x, n_pad) for x in (q, k, v))
+    kernel = functools.partial(
+        _dropattn_fwd_kernel, scale=d**-0.5, valid_len=n, rate=rate
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h,),
+        in_specs=_bh_specs(n_pad, d, 3),
+        out_specs=pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+        interpret=interpret,
+        **_vmem_params(n_pad),
+    )(seed, qp, kp, vp)
+    out = jnp.swapaxes(out[:, :n, :].reshape(b, h, n, d), 1, 2)
+    return out, (q, k, v, seed)
+
+
+def _dropout_attention_bwd(rate, interpret, res, g):
+    q, k, v, seed = res
+    b, n, h, d = q.shape
+    sublane = 16 if q.dtype == jnp.bfloat16 else 8
+    n_pad = _round_up(n, sublane)
+    qp, kp, vp, gp = (_prep_bh(x, n_pad) for x in (q, k, v, g))
+    kernel = functools.partial(
+        _dropattn_bwd_kernel, scale=d**-0.5, valid_len=n, rate=rate
+    )
+    bh_spec = pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(b * h,),
+        in_specs=_bh_specs(n_pad, d, 4),
+        out_specs=(bh_spec, bh_spec, bh_spec),
+        out_shape=(shape, shape, shape),
+        interpret=interpret,
+        **_vmem_params(n_pad),
+    )(seed, qp, kp, vp, gp)
+
+    def unprep(x):
+        return jnp.swapaxes(x[:, :n, :].reshape(b, h, n, d), 1, 2)
+
+    import numpy as _np
+
+    dseed = _np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return unprep(dq), unprep(dk), unprep(dv), dseed
+
+
+_dropout_attention.defvjp(_dropout_attention_fwd, _dropout_attention_bwd)
+
+
+def dropout_attention(q, k, v, seed, rate: float, interpret: bool = False):
+    """(b, n, h, d) attention with in-kernel attention-prob dropout.
+
+    `seed` is a (1, 1) int32 array; the per-(batch, head) stream is
+    (seed, program_id), so the same seed reproduces the same masks — and the
+    backward pass regenerates them bit-exactly instead of storing them.
+    Differentiable in q/k/v via the custom VJP above."""
+    assert 0.0 <= rate < 1.0  # rate 0 = plain attention (kept for tests)
+    return _dropout_attention(float(rate), bool(interpret), q, k, v, seed)
+
+
 # --- fully fused postnorm attention block -----------------------------------
 
 

@@ -79,6 +79,11 @@ class MultiHeadSelfAttention(nn.Module):
     # this to 0.0 removes that randomness entirely while keeping the
     # hidden-state dropouts.
     attention_dropout: "float | None" = None
+    # route training-mode attention-prob dropout through the Pallas kernel
+    # that draws the mask in-kernel (fwd) and regenerates it in the custom
+    # bwd — the (b, h, n, n) mask never exists in HBM (the dominant Stage-II
+    # training residual, ~22% of the 256px step; BENCHMARKS.md round 3)
+    fused_dropout: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -89,6 +94,7 @@ class MultiHeadSelfAttention(nn.Module):
             kernel_init=nn.initializers.truncated_normal(stddev=0.02),
         )
         p = self.dropout if self.attention_dropout is None else self.attention_dropout
+        self.attn_rate = p
         self.attn_drop = nn.Dropout(p)
 
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -101,6 +107,21 @@ class MultiHeadSelfAttention(nn.Module):
         q = q.reshape(b, n, self.num_heads, head_dim)
         k = k.reshape(b, n, self.num_heads, head_dim)
         v = v.reshape(b, n, self.num_heads, head_dim)
+
+        if self.fused_dropout and not deterministic and self.attn_rate > 0.0:
+            from maskbit_tpu.nn.pallas_attention import dropout_attention
+
+            # per-layer seed from the flax dropout stream (tiny draw); the
+            # kernel fans it out per (batch, head) via program_id
+            seed = jax.lax.bitcast_convert_type(
+                jax.random.bits(self.make_rng("dropout"), (1, 1), jnp.uint32),
+                jnp.int32,
+            )
+            out = dropout_attention(
+                q, k, v, seed, self.attn_rate,
+                interpret=jax.default_backend() != "tpu",
+            ).reshape(b, n, e).astype(self.dtype)
+            return out @ self.out_proj.kernel.astype(self.dtype) + self.out_proj.bias.astype(self.dtype)
 
         scale = head_dim**-0.5
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
@@ -117,11 +138,13 @@ class BertAttention(nn.Module):
     use_prenorm: bool = False
     attention_impl: str = "einsum"  # "einsum" | "fused" (Pallas, postnorm inference)
     attention_dropout: "float | None" = None
+    fused_dropout: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
         self.mha = MultiHeadSelfAttention(self.embed_dim, self.num_heads, self.dropout,
                                           attention_dropout=self.attention_dropout,
+                                          fused_dropout=self.fused_dropout,
                                           dtype=self.dtype)
         self.norm = NormParams(self.embed_dim)
         self.drop = nn.Dropout(self.dropout)
@@ -198,6 +221,7 @@ class TransformerEncoder(nn.Module):
     remat: bool = False  # rematerialize per-layer activations (trade FLOPs for HBM)
     attention_impl: str = "einsum"
     attention_dropout: "float | None" = None
+    fused_dropout: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -210,6 +234,7 @@ class TransformerEncoder(nn.Module):
             x = attn_cls(self.dim, self.heads, self.dropout, self.use_prenorm,
                          attention_impl=self.attention_impl,
                          attention_dropout=self.attention_dropout,
+                         fused_dropout=self.fused_dropout,
                          dtype=self.dtype, name=f"layers_{i}_attn")(x, deterministic)
             x = ffn_cls(self.dim, self.mlp_dim, self.dropout, self.use_prenorm,
                         dtype=self.dtype, name=f"layers_{i}_ffn")(x, deterministic)

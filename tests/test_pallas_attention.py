@@ -55,6 +55,136 @@ def test_fused_attention_block_matches_einsum_path(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=3e-5, rtol=1e-4)
 
 
+def ref_dropout_attention(q, k, v, mask, rate):
+    """Pure-JAX replica of the dropout-attention kernel math: softmax f32,
+    keep-mask with 1/(1-p) scaling, value mix in input dtype."""
+    d = q.shape[-1]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (d**-0.5)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    if mask is not None:
+        w = jnp.where(mask, w / (1.0 - rate), 0.0)
+    return jnp.einsum("bhqk,bkhd->bqhd", w.astype(q.dtype), v)
+
+
+def _hash_mask(b, h, n, rate, seed):
+    from maskbit_tpu.nn.pallas_attention import _round_up, hash_keep_mask_np
+
+    n_pad = _round_up(n, 8)
+    mask = np.zeros((b, h, n, n), bool)
+    for bi in range(b):
+        for hi in range(h):
+            mask[bi, hi] = hash_keep_mask_np(n_pad, rate, seed, bi * h + hi)[:n, :n]
+    return jnp.asarray(mask)
+
+
+def test_dropout_attention_rate0_matches_plain(rng):
+    from maskbit_tpu.nn.pallas_attention import dropout_attention
+
+    b, n, h, d = 2, 33, 2, 64
+    q, k, v = (jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32) for _ in range(3))
+    seed = jnp.asarray([[5]], jnp.int32)
+    out = dropout_attention(q, k, v, seed, 0.0, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_attention(q, k, v)), atol=2e-5, rtol=1e-4
+    )
+
+
+@pytest.mark.parametrize("n", [33, 257])
+def test_dropout_attention_fwd_and_grads_match_replica(rng, n):
+    """Forward AND the custom VJP (dq/dk/dv) must match autodiff through a
+    pure-JAX replica using the identical keep-mask (the interpret-mode mask
+    is a deterministic hash replicated in numpy — hash_keep_mask_np)."""
+    from maskbit_tpu.nn.pallas_attention import dropout_attention
+
+    b, h, d, rate, seed_val = 2, 2, 64, 0.4, 123
+    q, k, v = (jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32) for _ in range(3))
+    seed = jnp.asarray([[seed_val]], jnp.int32)
+    mask = _hash_mask(b, h, n, rate, seed_val)
+
+    out = dropout_attention(q, k, v, seed, rate, interpret=True)
+    expected = ref_dropout_attention(q, k, v, mask, rate)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5, rtol=1e-4)
+
+    w0 = jnp.asarray(rng.normal(size=out.shape), jnp.float32)
+    f_kernel = lambda q, k, v: jnp.sum(
+        dropout_attention(q, k, v, seed, rate, interpret=True) * w0)
+    f_ref = lambda q, k, v: jnp.sum(ref_dropout_attention(q, k, v, mask, rate) * w0)
+    got = jax.grad(f_kernel, argnums=(0, 1, 2))(q, k, v)
+    exp = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, e in zip(got, exp):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(e), atol=5e-5, rtol=1e-4)
+
+
+def test_dropout_attention_mask_statistics(rng):
+    """Keep fraction of the mask ~ (1 - rate), and different seeds give
+    different masks (the per-layer seed decorrelates layers)."""
+    from maskbit_tpu.nn.pallas_attention import dropout_attention
+
+    b, n, h, d, rate = 2, 64, 2, 64, 0.3
+    q, k, v = (jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32) for _ in range(3))
+    mask = np.asarray(_hash_mask(b, h, n, rate, 11))
+    assert abs(mask.mean() - (1 - rate)) < 0.05
+    o1 = dropout_attention(q, k, v, jnp.asarray([[11]], jnp.int32), rate, interpret=True)
+    o2 = dropout_attention(q, k, v, jnp.asarray([[11]], jnp.int32), rate, interpret=True)
+    o3 = dropout_attention(q, k, v, jnp.asarray([[12]], jnp.int32), rate, interpret=True)
+    assert bool(jnp.all(o1 == o2))       # same seed -> same mask
+    assert bool(jnp.any(o1 != o3))       # different seed -> different mask
+
+
+def test_mha_fused_dropout_path(rng):
+    """MultiHeadSelfAttention(fused_dropout=True) in training mode runs the
+    kernel (interpret on CPU), stays finite, differs from the deterministic
+    output, and the deterministic path is unchanged by the flag."""
+    from maskbit_tpu.nn.transformer import MultiHeadSelfAttention
+
+    b, n, e, h = 2, 33, 64, 4
+    x = jnp.asarray(rng.normal(size=(b, n, e)), jnp.float32)
+    ref = MultiHeadSelfAttention(e, h, dropout=0.2)
+    fused = MultiHeadSelfAttention(e, h, dropout=0.2, fused_dropout=True)
+    variables = ref.init(jax.random.key(0), x)
+
+    det_ref = ref.apply(variables, x, True)
+    det_fused = fused.apply(variables, x, True)
+    np.testing.assert_allclose(np.asarray(det_fused), np.asarray(det_ref), rtol=1e-6)
+
+    out = fused.apply(variables, x, False, rngs={"dropout": jax.random.key(1)})
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert bool(jnp.any(jnp.abs(out - det_ref) > 1e-4))
+    # same rng -> identical; different rng -> different mask
+    out2 = fused.apply(variables, x, False, rngs={"dropout": jax.random.key(1)})
+    out3 = fused.apply(variables, x, False, rngs={"dropout": jax.random.key(2)})
+    assert bool(jnp.all(out == out2)) and bool(jnp.any(out != out3))
+
+
+def test_generator_train_step_with_fused_dropout(rng):
+    """An LFQBert fwd+bwd with fused_attention_dropout=true compiles and
+    yields finite loss/grads (the full custom-VJP path under value_and_grad)."""
+    from maskbit_tpu.models.generator import LFQBert
+
+    model = LFQBert(
+        img_size=32, hidden_dim=64, codebook_size=256, codebook_splits=2,
+        depth=2, heads=4, mlp_dim=128, dropout=0.1, nclass=10, input_stride=8,
+        fused_attention_dropout=True,
+    )
+    b, n = 2, (32 // 8) ** 2
+    tokens = jnp.asarray(rng.integers(0, 16, size=(b, n, 2)), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, 10, size=(b,)), jnp.int32)
+    variables = model.init(jax.random.key(0), tokens, labels)
+
+    def loss_fn(params):
+        logits = model.apply(
+            {"params": params}, tokens, labels, deterministic=False,
+            rngs={"dropout": jax.random.key(3)},
+        )
+        return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    leaves = jax.tree.leaves(grads)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
+    assert any(float(jnp.max(jnp.abs(g))) > 0 for g in leaves)
+
+
 def test_fused_attention_block_512px_seq(rng):
     """512px shapes (n=1025, E=1024): the fused block raises its own
     `vmem_limit_bytes` for long sequences (measured 1.8x over XLA on v5e) —
