@@ -19,11 +19,43 @@ block, and the fully fused block below 3.2 ms (1.8x; needs the raised
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
+
+_logger = logging.getLogger("maskbit_tpu")
+
+
+def _kernel_mesh():
+    """The ambient `with mesh:` Mesh, if these kernels can self-partition.
+
+    Under auto-GSPMD jit a Mosaic pallas_call is an OPAQUE custom call: the
+    SPMD partitioner cannot partition it, so on a multi-chip mesh it
+    replicates the call after all-gathering q/k/v — correct, but it defeats
+    the kernels' purpose. Attention is embarrassingly parallel over
+    (batch, head), so when the caller runs inside `with mesh:` (the train
+    CLIs, dryrun_multichip, the sharded sampler) the kernels wrap
+    themselves in shard_map over (data, fsdp) x tensor — manual
+    per-device partitioning with zero collectives."""
+    try:
+        from jax._src import mesh as mesh_lib
+
+        m = mesh_lib.thread_resources.env.physical_mesh
+    except Exception:  # noqa: BLE001 — internal API; fall back to unsharded
+        return None
+    if m is None or m.empty or m.size <= 1:
+        return None
+    if not {"data", "fsdp", "tensor"} <= set(m.axis_names):
+        return None
+    return m
+
+
+def _batch_shards(mesh) -> int:
+    return mesh.shape["data"] * mesh.shape["fsdp"]
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):
@@ -49,6 +81,24 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _fused_attention_local(interpret, q, k, v):
+    b, n, h, d = q.shape
+    sublane = 16 if q.dtype == jnp.bfloat16 else 8
+    n_pad = _round_up(n, sublane)
+    qp, kp, vp = (_prep_bh(x, n_pad) for x in (q, k, v))
+    kernel = functools.partial(_attention_kernel, scale=d**-0.5, valid_len=n)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h,),
+        in_specs=_bh_specs(n_pad, d, 3),
+        out_specs=pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp)
+    out = out[:, :n, :].reshape(b, h, n, d)
+    return jnp.swapaxes(out, 1, 2)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     interpret: bool = False) -> jnp.ndarray:
@@ -56,36 +106,19 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     Unmasked bidirectional attention with 1/sqrt(d) scaling; softmax in f32
     on-chip. Intended for n up to ~1k (n^2 f32 must fit VMEM per program).
-    """
+    Inside `with mesh:` the call self-partitions over (data, fsdp) x tensor
+    via shard_map (see _kernel_mesh)."""
     b, n, h, d = q.shape
-    scale = d**-0.5
-    sublane = 16 if q.dtype == jnp.bfloat16 else 8
-    n_pad = _round_up(n, sublane)
-
-    def prep(x):
-        x = jnp.swapaxes(x, 1, 2).reshape(b * h, n, d)  # (bh, n, d)
-        if n_pad != n:
-            x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
-        return x
-
-    qp, kp, vp = prep(q), prep(k), prep(v)
-
-    kernel = functools.partial(_attention_kernel, scale=scale, valid_len=n)
-    out = pl.pallas_call(
-        kernel,
-        grid=(b * h,),
-        in_specs=[
-            pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
-        interpret=interpret,
-    )(qp, kp, vp)
-
-    out = out[:, :n, :].reshape(b, h, n, d)
-    return jnp.swapaxes(out, 1, 2)
+    mesh = _kernel_mesh()
+    if (mesh is not None and b % _batch_shards(mesh) == 0
+            and h % mesh.shape["tensor"] == 0):
+        spec = P(("data", "fsdp"), None, "tensor", None)
+        return jax.shard_map(
+            functools.partial(_fused_attention_local, bool(interpret)),
+            mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            check_vma=False,
+        )(q, k, v)
+    return _fused_attention_local(bool(interpret), q, k, v)
 
 
 # --- training attention with in-kernel dropout ------------------------------
@@ -105,9 +138,12 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 # differs.)
 
 
-def _dropout_mask(shape, rate: float, seed, program):
-    """Bernoulli keep-mask: keep iff hash(row, col, seed, program) >=
-    rate * 2^32 (P(drop) = rate).
+def _dropout_mask(shape, rate: float, seed):
+    """Bernoulli keep-mask: keep iff hash(row, col, seed) >= rate * 2^32
+    (P(drop) = rate). `seed` is this (batch, head) slot's own 32-bit draw
+    from the global rng, so the mask depends on NOTHING positional beyond
+    (row, col) — the same seeds give bit-identical masks on any mesh, any
+    grid layout, fwd or bwd.
 
     COUNTER-BASED, not stream-based: the Mosaic stream PRNG
     (prng_seed/prng_random_bits) maps its bit stream onto a ragged
@@ -123,8 +159,7 @@ def _dropout_mask(shape, rate: float, seed, program):
     cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.uint32)
     mix = (rows * jnp.uint32(0x9E3779B1)
            + cols * jnp.uint32(0x85EBCA77)
-           + seed.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D)
-           + program.astype(jnp.uint32) * jnp.uint32(0x7FEB352D))
+           + seed.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
     mix = mix ^ (mix >> jnp.uint32(16))
     mix = mix * jnp.uint32(0x85EBCA6B)
     mix = mix ^ (mix >> jnp.uint32(13))
@@ -133,7 +168,7 @@ def _dropout_mask(shape, rate: float, seed, program):
     return mix >= thr
 
 
-def hash_keep_mask_np(n_pad: int, rate: float, seed: int, program: int):
+def hash_keep_mask_np(n_pad: int, rate: float, seed: int):
     """Numpy replica of the in-kernel hash mask (for tests)."""
     import numpy as np
 
@@ -143,8 +178,7 @@ def hash_keep_mask_np(n_pad: int, rate: float, seed: int, program: int):
     with np.errstate(over="ignore"):
         mix = (rows * np.uint32(0x9E3779B1)
                + cols * np.uint32(0x85EBCA77)
-               + np.uint32(np.int64(seed) & 0xFFFFFFFF) * np.uint32(0xC2B2AE3D)
-               + np.uint32(np.int64(program) & 0xFFFFFFFF) * np.uint32(0x7FEB352D))
+               + np.uint32(np.int64(seed) & 0xFFFFFFFF) * np.uint32(0xC2B2AE3D))
         mix = mix ^ (mix >> np.uint32(16))
         mix = mix * np.uint32(0x85EBCA6B)
         mix = mix ^ (mix >> np.uint32(13))
@@ -166,7 +200,7 @@ def _dropattn_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref,
         key_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, dimension=1)
         logits = jnp.where(key_ids < valid_len, logits, -jnp.inf)
     weights = jax.nn.softmax(logits, axis=-1)
-    keep = _dropout_mask(weights.shape, rate, seed_ref[0, 0], pl.program_id(0))
+    keep = _dropout_mask(weights.shape, rate, seed_ref[pl.program_id(0), 0])
     weights = jnp.where(keep, weights * (1.0 / (1.0 - rate)), 0.0)
     out = jax.lax.dot_general(
         weights.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -191,7 +225,7 @@ def _dropattn_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref,
         key_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, dimension=1)
         logits = jnp.where(key_ids < valid_len, logits, -jnp.inf)
     weights = jax.nn.softmax(logits, axis=-1)          # pre-dropout, f32
-    keep = _dropout_mask(weights.shape, rate, seed_ref[0, 0], pl.program_id(0))
+    keep = _dropout_mask(weights.shape, rate, seed_ref[pl.program_id(0), 0])
     inv = 1.0 / (1.0 - rate)
     dropped = jnp.where(keep, weights * inv, 0.0).astype(v.dtype)
 
@@ -228,12 +262,17 @@ def _prep_bh(x, n_pad):
 
 
 def _bh_specs(n_pad, d, count):
-    seed_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    data = [
+    """Per-(batch, head) VMEM blocks for `count` (b*h, n_pad, d) operands."""
+    return [
         pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         for _ in range(count)
     ]
-    return [seed_spec] + data
+
+
+# the full (b*h, 1) seed array rides in SMEM (a few hundred bytes); each
+# program picks its own (batch, head) seed by program_id — Mosaic requires
+# SMEM blocks be whole-array or tile-aligned, so no (1, 1) blocked spec
+_SEED_SPEC = pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
 def _vmem_params(n_pad):
@@ -262,7 +301,7 @@ def _dropout_attention_fwd(rate, interpret, q, k, v, seed):
     out = pl.pallas_call(
         kernel,
         grid=(b * h,),
-        in_specs=_bh_specs(n_pad, d, 3),
+        in_specs=[_SEED_SPEC] + _bh_specs(n_pad, d, 3),
         out_specs=pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
@@ -288,7 +327,7 @@ def _dropout_attention_bwd(rate, interpret, res, g):
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(b * h,),
-        in_specs=_bh_specs(n_pad, d, 4),
+        in_specs=[_SEED_SPEC] + _bh_specs(n_pad, d, 4),
         out_specs=(bh_spec, bh_spec, bh_spec),
         out_shape=(shape, shape, shape),
         interpret=interpret,
@@ -307,15 +346,47 @@ def _dropout_attention_bwd(rate, interpret, res, g):
 _dropout_attention.defvjp(_dropout_attention_fwd, _dropout_attention_bwd)
 
 
-def dropout_attention(q, k, v, seed, rate: float, interpret: bool = False):
+def _dropout_attention_local(rate, interpret, q, k, v, seeds):
+    b, _, h, _ = q.shape
+    return _dropout_attention(rate, interpret, q, k, v, seeds.reshape(b * h, 1))
+
+
+def dropout_attention(q, k, v, seeds, rate: float, interpret: bool = False):
     """(b, n, h, d) attention with in-kernel attention-prob dropout.
 
-    `seed` is a (1, 1) int32 array; the per-(batch, head) stream is
-    (seed, program_id), so the same seed reproduces the same masks — and the
-    backward pass regenerates them bit-exactly instead of storing them.
-    Differentiable in q/k/v via the custom VJP above."""
+    `seeds` is a (b, h) int32/uint32 array — one independent mask stream per
+    (batch, head), drawn by the caller from the GLOBAL rng (the same
+    partitionable draw that makes nn.Dropout independent across
+    data-parallel shards). The mask is a pure hash of (row, col, seed):
+    the same seeds give bit-identical masks on any mesh or grid layout, and
+    the backward pass regenerates them instead of storing them.
+    Differentiable in q/k/v via the custom VJP above.
+
+    Inside `with mesh:` the call self-partitions via shard_map — batch over
+    (data, fsdp), heads over tensor — because GSPMD cannot partition an
+    opaque Mosaic call (it would all-gather q/k/v on a multi-chip mesh)."""
     assert 0.0 <= rate < 1.0  # rate 0 = plain attention (kept for tests)
-    return _dropout_attention(float(rate), bool(interpret), q, k, v, seed)
+    b, _, h, _ = q.shape
+    assert seeds.shape == (b, h), f"seeds must be (batch, heads), got {seeds.shape}"
+    if seeds.dtype != jnp.int32:
+        seeds = jax.lax.bitcast_convert_type(seeds, jnp.int32)
+    mesh = _kernel_mesh()
+    if mesh is not None:
+        if b % _batch_shards(mesh) == 0 and h % mesh.shape["tensor"] == 0:
+            spec = P(("data", "fsdp"), None, "tensor", None)
+            return jax.shard_map(
+                functools.partial(_dropout_attention_local,
+                                  float(rate), bool(interpret)),
+                mesh=mesh,
+                in_specs=(spec, spec, spec, P(("data", "fsdp"), "tensor")),
+                out_specs=spec,
+                check_vma=False,
+            )(q, k, v, seeds)
+        _logger.warning(
+            "dropout_attention: (b=%d, h=%d) not divisible by mesh %s — "
+            "falling back to the unpartitioned kernel (GSPMD will replicate "
+            "it on a multi-chip mesh)", b, h, dict(mesh.shape))
+    return _dropout_attention_local(float(rate), bool(interpret), q, k, v, seeds)
 
 
 # --- fully fused postnorm attention block -----------------------------------
@@ -392,7 +463,36 @@ def fused_attention_block(
     eps: float = 1e-12,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Postnorm BERT attention block: LN(x + MHA(x)). x: (b, n, E)."""
+    """Postnorm BERT attention block: LN(x + MHA(x)). x: (b, n, E).
+
+    Inside `with mesh:` the call self-partitions over the batch axes via
+    shard_map (weights replicated — this is the inference path, where the
+    sharded sampler replicates them; see _kernel_mesh for why GSPMD alone
+    cannot partition a Mosaic call). Requires tensor == 1: the packed
+    [q|k|v] weight columns do not split head-wise under a plain tensor
+    annotation."""
+    mesh = _kernel_mesh()
+    if (mesh is not None and x.shape[0] % _batch_shards(mesh) == 0
+            and mesh.shape["tensor"] == 1):
+        rep = P()
+        return jax.shard_map(
+            functools.partial(_fused_attention_block_local,
+                              num_heads=num_heads, eps=eps,
+                              interpret=bool(interpret)),
+            mesh=mesh,
+            in_specs=(P(("data", "fsdp")), rep, rep, rep, rep, rep, rep),
+            out_specs=P(("data", "fsdp")),
+            check_vma=False,
+        )(x, wqkv, bqkv, wo, bo, ln_scale, ln_bias)
+    return _fused_attention_block_local(
+        x, wqkv, bqkv, wo, bo, ln_scale, ln_bias,
+        num_heads=num_heads, eps=eps, interpret=bool(interpret))
+
+
+def _fused_attention_block_local(
+    x, wqkv, bqkv, wo, bo, ln_scale, ln_bias,
+    *, num_heads: int, eps: float, interpret: bool,
+) -> jnp.ndarray:
     b, n, e = x.shape
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
     n_pad = _round_up(n, sublane)

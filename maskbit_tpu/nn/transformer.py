@@ -94,7 +94,6 @@ class MultiHeadSelfAttention(nn.Module):
             kernel_init=nn.initializers.truncated_normal(stddev=0.02),
         )
         p = self.dropout if self.attention_dropout is None else self.attention_dropout
-        self.attn_rate = p
         self.attn_drop = nn.Dropout(p)
 
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -108,17 +107,17 @@ class MultiHeadSelfAttention(nn.Module):
         k = k.reshape(b, n, self.num_heads, head_dim)
         v = v.reshape(b, n, self.num_heads, head_dim)
 
-        if self.fused_dropout and not deterministic and self.attn_rate > 0.0:
+        if self.fused_dropout and not deterministic and self.attn_drop.rate > 0.0:
             from maskbit_tpu.nn.pallas_attention import dropout_attention
 
-            # per-layer seed from the flax dropout stream (tiny draw); the
-            # kernel fans it out per (batch, head) via program_id
-            seed = jax.lax.bitcast_convert_type(
-                jax.random.bits(self.make_rng("dropout"), (1, 1), jnp.uint32),
-                jnp.int32,
-            )
+            # one 32-bit seed per (batch, head) from the flax dropout
+            # stream — a GLOBAL-shaped draw, so data-parallel shards get
+            # independent masks exactly like nn.Dropout would (the kernel's
+            # mask is a pure hash of (row, col, seed): mesh-invariant)
+            seeds = jax.random.bits(
+                self.make_rng("dropout"), (b, self.num_heads), jnp.uint32)
             out = dropout_attention(
-                q, k, v, seed, self.attn_rate,
+                q, k, v, seeds, self.attn_drop.rate,
                 interpret=jax.default_backend() != "tpu",
             ).reshape(b, n, e).astype(self.dtype)
             return out @ self.out_proj.kernel.astype(self.dtype) + self.out_proj.bias.astype(self.dtype)

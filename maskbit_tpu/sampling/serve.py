@@ -39,6 +39,10 @@ def make_sharded_sampler(
     def run(gen_vars, tok_vars, key: jax.Array, labels: jnp.ndarray):
         # multi-process-safe: each host contributes its local label slice
         labels = global_batch_array(jnp.asarray(labels, jnp.int32), mesh)
-        return sampler(gen_vars, tok_vars, key, labels)
+        # enter the mesh context so the Pallas attention kernels can
+        # self-partition over the batch axes (nn/pallas_attention._kernel_mesh
+        # — GSPMD alone cannot partition an opaque Mosaic call)
+        with mesh:
+            return sampler(gen_vars, tok_vars, key, labels)
 
     return run

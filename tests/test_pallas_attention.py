@@ -66,14 +66,23 @@ def ref_dropout_attention(q, k, v, mask, rate):
     return jnp.einsum("bhqk,bkhd->bqhd", w.astype(q.dtype), v)
 
 
-def _hash_mask(b, h, n, rate, seed):
+def _seeds(b, h, base):
+    """Deterministic distinct per-(batch, head) seeds for tests."""
+    return jnp.asarray(
+        np.arange(b * h, dtype=np.int64).reshape(b, h) * 7919 + base, jnp.int32
+    )
+
+
+def _hash_mask(seeds, n, rate):
     from maskbit_tpu.nn.pallas_attention import _round_up, hash_keep_mask_np
 
+    b, h = seeds.shape
     n_pad = _round_up(n, 8)
     mask = np.zeros((b, h, n, n), bool)
     for bi in range(b):
         for hi in range(h):
-            mask[bi, hi] = hash_keep_mask_np(n_pad, rate, seed, bi * h + hi)[:n, :n]
+            mask[bi, hi] = hash_keep_mask_np(
+                n_pad, rate, int(seeds[bi, hi]))[:n, :n]
     return jnp.asarray(mask)
 
 
@@ -82,8 +91,7 @@ def test_dropout_attention_rate0_matches_plain(rng):
 
     b, n, h, d = 2, 33, 2, 64
     q, k, v = (jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32) for _ in range(3))
-    seed = jnp.asarray([[5]], jnp.int32)
-    out = dropout_attention(q, k, v, seed, 0.0, interpret=True)
+    out = dropout_attention(q, k, v, _seeds(b, h, 5), 0.0, interpret=True)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref_attention(q, k, v)), atol=2e-5, rtol=1e-4
     )
@@ -96,18 +104,18 @@ def test_dropout_attention_fwd_and_grads_match_replica(rng, n):
     is a deterministic hash replicated in numpy — hash_keep_mask_np)."""
     from maskbit_tpu.nn.pallas_attention import dropout_attention
 
-    b, h, d, rate, seed_val = 2, 2, 64, 0.4, 123
+    b, h, d, rate = 2, 2, 64, 0.4
     q, k, v = (jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32) for _ in range(3))
-    seed = jnp.asarray([[seed_val]], jnp.int32)
-    mask = _hash_mask(b, h, n, rate, seed_val)
+    seeds = _seeds(b, h, 123)
+    mask = _hash_mask(seeds, n, rate)
 
-    out = dropout_attention(q, k, v, seed, rate, interpret=True)
+    out = dropout_attention(q, k, v, seeds, rate, interpret=True)
     expected = ref_dropout_attention(q, k, v, mask, rate)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5, rtol=1e-4)
 
     w0 = jnp.asarray(rng.normal(size=out.shape), jnp.float32)
     f_kernel = lambda q, k, v: jnp.sum(
-        dropout_attention(q, k, v, seed, rate, interpret=True) * w0)
+        dropout_attention(q, k, v, seeds, rate, interpret=True) * w0)
     f_ref = lambda q, k, v: jnp.sum(ref_dropout_attention(q, k, v, mask, rate) * w0)
     got = jax.grad(f_kernel, argnums=(0, 1, 2))(q, k, v)
     exp = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
@@ -117,18 +125,70 @@ def test_dropout_attention_fwd_and_grads_match_replica(rng, n):
 
 def test_dropout_attention_mask_statistics(rng):
     """Keep fraction of the mask ~ (1 - rate), and different seeds give
-    different masks (the per-layer seed decorrelates layers)."""
+    different masks (the per-layer draw decorrelates layers)."""
     from maskbit_tpu.nn.pallas_attention import dropout_attention
 
     b, n, h, d, rate = 2, 64, 2, 64, 0.3
     q, k, v = (jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32) for _ in range(3))
-    mask = np.asarray(_hash_mask(b, h, n, rate, 11))
+    mask = np.asarray(_hash_mask(_seeds(b, h, 11), n, rate))
     assert abs(mask.mean() - (1 - rate)) < 0.05
-    o1 = dropout_attention(q, k, v, jnp.asarray([[11]], jnp.int32), rate, interpret=True)
-    o2 = dropout_attention(q, k, v, jnp.asarray([[11]], jnp.int32), rate, interpret=True)
-    o3 = dropout_attention(q, k, v, jnp.asarray([[12]], jnp.int32), rate, interpret=True)
-    assert bool(jnp.all(o1 == o2))       # same seed -> same mask
-    assert bool(jnp.any(o1 != o3))       # different seed -> different mask
+    o1 = dropout_attention(q, k, v, _seeds(b, h, 11), rate, interpret=True)
+    o2 = dropout_attention(q, k, v, _seeds(b, h, 11), rate, interpret=True)
+    o3 = dropout_attention(q, k, v, _seeds(b, h, 12), rate, interpret=True)
+    assert bool(jnp.all(o1 == o2))       # same seeds -> same masks
+    assert bool(jnp.any(o1 != o3))       # different seeds -> different masks
+
+
+def test_dropout_attention_mesh_invariant(rng):
+    """Under `with mesh:` the kernel self-partitions via shard_map
+    (batch over data x fsdp, heads over tensor). The mask hash has no
+    positional dependence beyond (row, col, seed), so the sharded result —
+    forward AND custom-VJP grads — must be BIT-IDENTICAL to the unsharded
+    one. This is the property that keeps dropout independent across
+    data-parallel shards (seeds are a global-shaped draw) and training
+    reproducible across mesh shapes."""
+    from jax.sharding import Mesh
+    from maskbit_tpu.nn.pallas_attention import dropout_attention
+
+    b, n, h, d, rate = 4, 33, 4, 32, 0.3
+    q, k, v = (jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32) for _ in range(3))
+    seeds = _seeds(b, h, 42)
+
+    def loss(q, k, v):
+        return jnp.sum(dropout_attention(q, k, v, seeds, rate, interpret=True) ** 2)
+
+    plain_out = dropout_attention(q, k, v, seeds, rate, interpret=True)
+    plain_grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 2, 2)
+    with Mesh(devs, ("data", "fsdp", "tensor")):
+        # the wrap must actually engage (value equality alone can't tell)
+        jaxpr = str(jax.make_jaxpr(
+            lambda q, k, v: dropout_attention(q, k, v, seeds, rate, interpret=True)
+        )(q, k, v))
+        assert "shard_map" in jaxpr
+        mesh_out = dropout_attention(q, k, v, seeds, rate, interpret=True)
+        mesh_grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert bool(jnp.all(mesh_out == plain_out))
+    for g, e in zip(mesh_grads, plain_grads):
+        assert bool(jnp.all(g == e))
+
+
+def test_fused_attention_block_mesh_matches_plain(rng):
+    """The inference fused block self-partitions over the batch axes under
+    `with mesh:` — same numbers as the unsharded call."""
+    from jax.sharding import Mesh
+    from maskbit_tpu.nn.transformer import BertAttention
+
+    b, n, e, h = 8, 33, 64, 4
+    x = jnp.asarray(rng.normal(size=(b, n, e)) * 0.1, jnp.float32)
+    mod = BertAttention(e, h, dropout=0.0, use_prenorm=False, attention_impl="fused")
+    variables = mod.init(jax.random.key(0), x)
+    plain = mod.apply(variables, x)
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2, 1)
+    with Mesh(devs, ("data", "fsdp", "tensor")):
+        meshed = mod.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(meshed), np.asarray(plain), atol=1e-6, rtol=1e-6)
 
 
 def test_mha_fused_dropout_path(rng):

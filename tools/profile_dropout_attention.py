@@ -1,11 +1,12 @@
 """Validate + profile the in-kernel-dropout attention on the real chip.
 
-Part A validates the Mosaic-PRNG path that CPU tests cannot reach
-(prng_seed has no interpreter lowering): same-seed determinism, the
-empirical keep rate, and — the critical property — that the backward
-kernel regenerates the forward's mask bit-exactly (finite-difference
-directional-derivative check; the mask is input-independent given the
-seed, so FD and the custom VJP must agree).
+Part A validates the compiled Mosaic kernel against the numpy hash-mask
+replica (hash_keep_mask_np): same-seed determinism, a zero-logit
+mask-identity check (uniform softmax makes the output a pure function of
+the mask, so one flipped bit is ~30x the matmul-precision residual), and
+dq/dk/dv vs autodiff through the replica. Finite-difference checks are
+deliberately NOT used: at f32, sum-over-263k cancellation noise swamps
+small directional derivatives (measured).
 
 Part B times the flagship Stage-II train step (24L/1024E, seq 257 and
 1025) with attention dropout 0.1 under three implementations:
@@ -32,19 +33,6 @@ def sync(tree):
     return float(jnp.sum(jnp.ravel(leaf)[0]))
 
 
-def bench(fn, *args, repeats=3, iters=8):
-    out = fn(*args)
-    sync(out)
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        sync(out)
-        times.append((time.perf_counter() - t0) / iters)
-    return min(times)
-
-
 def validate_kernel():
     from maskbit_tpu.nn.pallas_attention import (
         _round_up,
@@ -54,28 +42,27 @@ def validate_kernel():
 
     print("=== Part A: hardware mask validation ===")
     rng = np.random.default_rng(0)
-    b, n, h, d, rate, seed_val = 4, 257, 8, 64, 0.3, 123
+    b, n, h, d, rate = 4, 257, 8, 64, 0.3
     q, k, v = (jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32)
                for _ in range(3))
-    seed = jnp.asarray([[seed_val]], jnp.int32)
+    seeds = jnp.asarray(
+        np.arange(b * h, dtype=np.int64).reshape(b, h) * 7919 + 123, jnp.int32)
 
-    o1 = dropout_attention(q, k, v, seed, rate)
-    o2 = dropout_attention(q, k, v, seed, rate)
-    o3 = dropout_attention(q, k, v, jnp.asarray([[7]], jnp.int32), rate)
+    o1 = dropout_attention(q, k, v, seeds, rate)
+    o2 = dropout_attention(q, k, v, seeds, rate)
+    o3 = dropout_attention(q, k, v, seeds + 1, rate)
     print("same-seed identical:", bool(jnp.all(o1 == o2)))
     print("diff-seed differs:  ", bool(jnp.any(o1 != o3)))
 
     # exact check vs the numpy-hash replica: the compiled kernel must
     # produce the hash mask layout-independently, and the custom bwd must
     # match autodiff through the replica (its mask is a host constant).
-    # FD checks are useless here: at f32, sum-over-263k cancellation noise
-    # swamps small directional derivatives (measured).
     n_pad = _round_up(n, 8)
     mask = np.zeros((b, h, n, n), bool)
     for bi in range(b):
         for hi in range(h):
-            mask[bi, hi] = hash_keep_mask_np(n_pad, rate, seed_val,
-                                             bi * h + hi)[:n, :n]
+            mask[bi, hi] = hash_keep_mask_np(
+                n_pad, rate, int(seeds[bi, hi]))[:n, :n]
     mask = jnp.asarray(mask)
 
     @jax.jit
@@ -94,7 +81,7 @@ def validate_kernel():
     # 7e-4 — Mosaic's multi-pass-bf16 f32 matmul vs the replica's HIGHEST —
     # so the 3e-3 threshold separates precision noise from any mask flip
     zq = jnp.zeros_like(q)
-    om = dropout_attention(zq, zq, v, seed, rate)
+    om = dropout_attention(zq, zq, v, seeds, rate)
     em = replica(zq, zq, v)
     mask_err = float(jnp.max(jnp.abs(om - em)))
     print(f"mask-identity (zero-logits) max err: {mask_err:.2e}")
@@ -107,7 +94,7 @@ def validate_kernel():
 
     w0 = jnp.asarray(rng.normal(size=o1.shape), jnp.float32)
     f_k = jax.jit(jax.grad(
-        lambda q, k, v: jnp.sum(dropout_attention(q, k, v, seed, rate) * w0),
+        lambda q, k, v: jnp.sum(dropout_attention(q, k, v, seeds, rate) * w0),
         argnums=(0, 1, 2)))
     f_r = jax.jit(jax.grad(
         lambda q, k, v: jnp.sum(replica(q, k, v) * w0), argnums=(0, 1, 2)))
