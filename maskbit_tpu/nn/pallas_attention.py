@@ -187,69 +187,134 @@ def hash_keep_mask_np(n_pad: int, rate: float, seed: int):
     return mix >= thr
 
 
+def _group_keep_mask(seed_ref, shape, rate: float, group: int):
+    """(group, n_pad, n_pad) keep-mask: each head-in-group gets its own
+    seed row (static unrolled loop — `group` is a compile-time constant)."""
+    base = pl.program_id(0) * group
+    if group == 1:
+        return _dropout_mask(shape[1:], rate, seed_ref[base, 0])[None]
+    return jnp.stack(
+        [_dropout_mask(shape[1:], rate, seed_ref[base + g, 0])
+         for g in range(group)], axis=0)
+
+
 def _dropattn_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref,
-                         *, scale: float, valid_len: int, rate: float):
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
+                         *, scale: float, valid_len: int, rate: float,
+                         group: int):
+    if group == 1:
+        # keep the plain 2D form for G=1 (the hardware-measured 512px path)
+        q, k, v = q_ref[0], k_ref[0], v_ref[0]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        n_pad = q.shape[0]
+        if valid_len < n_pad:
+            ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, dimension=1)
+            logits = jnp.where(ids < valid_len, logits, -jnp.inf)
+        weights = jax.nn.softmax(logits, axis=-1)
+        keep = _dropout_mask(weights.shape, rate, seed_ref[pl.program_id(0), 0])
+        weights = jnp.where(keep, weights * (1.0 / (1.0 - rate)), 0.0)
+        out = jax.lax.dot_general(
+            weights.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0] = out.astype(o_ref.dtype)
+        return
+    q = q_ref[:]  # (G, Np, d)
+    k = k_ref[:]
+    v = v_ref[:]
     logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    n_pad = q.shape[0]
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale  # (G, Np, Np)
+    n_pad = q.shape[1]
     if valid_len < n_pad:
-        key_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, dimension=1)
+        key_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, dimension=2)
         logits = jnp.where(key_ids < valid_len, logits, -jnp.inf)
     weights = jax.nn.softmax(logits, axis=-1)
-    keep = _dropout_mask(weights.shape, rate, seed_ref[pl.program_id(0), 0])
+    keep = _group_keep_mask(seed_ref, weights.shape, rate, group)
     weights = jnp.where(keep, weights * (1.0 / (1.0 - rate)), 0.0)
     out = jax.lax.dot_general(
-        weights.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        weights.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[:] = out.astype(o_ref.dtype)
 
 
 def _dropattn_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref,
                          dq_ref, dk_ref, dv_ref,
-                         *, scale: float, valid_len: int, rate: float):
+                         *, scale: float, valid_len: int, rate: float,
+                         group: int):
     """Recompute softmax + the identical dropout mask, then dq/dk/dv."""
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    g = g_ref[0]
+    if group == 1:
+        # keep the plain 2D form for G=1 (the hardware-measured 512px path)
+        q, k, v, g = q_ref[0], k_ref[0], v_ref[0], g_ref[0]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        n_pad = q.shape[0]
+        if valid_len < n_pad:
+            ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, dimension=1)
+            logits = jnp.where(ids < valid_len, logits, -jnp.inf)
+        weights = jax.nn.softmax(logits, axis=-1)
+        keep = _dropout_mask(weights.shape, rate, seed_ref[pl.program_id(0), 0])
+        inv = 1.0 / (1.0 - rate)
+        dropped = jnp.where(keep, weights * inv, 0.0).astype(v.dtype)
+        dv = jax.lax.dot_general(
+            dropped, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dwd = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dw = jnp.where(keep, dwd * inv, 0.0)
+        dlog = weights * (dw - jnp.sum(dw * weights, axis=-1, keepdims=True))
+        dlog = (dlog * scale).astype(q.dtype)
+        dq = jax.lax.dot_general(
+            dlog, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dk = jax.lax.dot_general(
+            dlog, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dq_ref[0] = dq.astype(dq_ref.dtype)
+        dk_ref[0] = dk.astype(dk_ref.dtype)
+        dv_ref[0] = dv.astype(dv_ref.dtype)
+        return
+    q = q_ref[:]  # (G, Np, d)
+    k = k_ref[:]
+    v = v_ref[:]
+    g = g_ref[:]
     logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * scale
-    n_pad = q.shape[0]
+    n_pad = q.shape[1]
     if valid_len < n_pad:
-        key_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, dimension=1)
+        key_ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, dimension=2)
         logits = jnp.where(key_ids < valid_len, logits, -jnp.inf)
     weights = jax.nn.softmax(logits, axis=-1)          # pre-dropout, f32
-    keep = _dropout_mask(weights.shape, rate, seed_ref[pl.program_id(0), 0])
+    keep = _group_keep_mask(seed_ref, weights.shape, rate, group)
     inv = 1.0 / (1.0 - rate)
     dropped = jnp.where(keep, weights * inv, 0.0).astype(v.dtype)
 
     # dv = dropped^T @ g
     dv = jax.lax.dot_general(
-        dropped, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        dropped, g, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
     # d(dropped weights) = g @ v^T ; through dropout: keep * inv
     dwd = jax.lax.dot_general(
-        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        g, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
     dw = jnp.where(keep, dwd * inv, 0.0)
     # softmax backward on the PRE-dropout weights (f32)
     dlog = weights * (dw - jnp.sum(dw * weights, axis=-1, keepdims=True))
     dlog = (dlog * scale).astype(q.dtype)
     dq = jax.lax.dot_general(
-        dlog, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        dlog, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
     dk = jax.lax.dot_general(
-        dlog, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        dlog, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dq_ref[:] = dq.astype(dq_ref.dtype)
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
 
 
 def _prep_bh(x, n_pad):
@@ -261,10 +326,11 @@ def _prep_bh(x, n_pad):
     return x
 
 
-def _bh_specs(n_pad, d, count):
-    """Per-(batch, head) VMEM blocks for `count` (b*h, n_pad, d) operands."""
+def _bh_specs(n_pad, d, count, group: int = 1):
+    """Per-program VMEM blocks of `group` (batch, head) rows for `count`
+    (b*h, n_pad, d) operands."""
     return [
-        pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((group, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         for _ in range(count)
     ]
 
@@ -275,13 +341,37 @@ def _bh_specs(n_pad, d, count):
 _SEED_SPEC = pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
-def _vmem_params(n_pad):
-    # bwd holds ~5 (n_pad, n_pad) f32 temporaries; past seq ~512 that blows
-    # the default ~16 MB scope — raise it (measured safe up to 100 MB on v5e)
-    if n_pad * n_pad * 4 * 5 > 12_000_000:
+def _vmem_params(n_pad, group: int = 1):
+    # bwd holds ~5 (group, n_pad, n_pad) f32 temporaries; past seq ~512 (or
+    # with head grouping) that blows the default ~16 MB scope — raise it
+    # (measured safe up to 100 MB on v5e)
+    if group * n_pad * n_pad * 4 * 5 > 12_000_000:
         return {"compiler_params": pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)}
     return {}
+
+
+def _pick_group(bh: int, n_pad: int) -> int:
+    """Heads per program for the dropout kernels.
+
+    At short sequences the per-(batch, head) programs are tiny (264x64x264
+    matmuls) and per-program overhead dominates; batching G heads per
+    program amortizes it — the same schedule insight as the inference
+    fused block's head groups. Long sequences keep G=1: their (n, n) f32
+    temporaries already fill VMEM. Auto rule: largest G <= 8 dividing b*h
+    whose ~5 f32 (G, n_pad, n_pad) bwd temporaries stay under ~16 MB.
+    Override with MASKBIT_DROPATTN_GROUP=<int> for measurements.
+
+    Auto currently returns 1 — grouping is implemented and correct (tests
+    force G via the env var) but not yet measured faster on hardware; the
+    G=1 schedule is the one behind every number in BENCHMARKS.md."""
+    import os
+
+    env = os.environ.get("MASKBIT_DROPATTN_GROUP", "auto")
+    if env != "auto":
+        g = int(env)
+        return g if g > 0 and bh % g == 0 else 1
+    return 1
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -294,19 +384,21 @@ def _dropout_attention_fwd(rate, interpret, q, k, v, seed):
     b, n, h, d = q.shape
     sublane = 16 if q.dtype == jnp.bfloat16 else 8
     n_pad = _round_up(n, sublane)
+    group = _pick_group(b * h, n_pad)
     qp, kp, vp = (_prep_bh(x, n_pad) for x in (q, k, v))
     kernel = functools.partial(
-        _dropattn_fwd_kernel, scale=d**-0.5, valid_len=n, rate=rate
+        _dropattn_fwd_kernel, scale=d**-0.5, valid_len=n, rate=rate,
+        group=group,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(b * h,),
-        in_specs=[_SEED_SPEC] + _bh_specs(n_pad, d, 3),
-        out_specs=pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+        grid=(b * h // group,),
+        in_specs=[_SEED_SPEC] + _bh_specs(n_pad, d, 3, group),
+        out_specs=pl.BlockSpec((group, n_pad, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
         interpret=interpret,
-        **_vmem_params(n_pad),
+        **_vmem_params(n_pad, group),
     )(seed, qp, kp, vp)
     out = jnp.swapaxes(out[:, :n, :].reshape(b, h, n, d), 1, 2)
     return out, (q, k, v, seed)
@@ -317,21 +409,23 @@ def _dropout_attention_bwd(rate, interpret, res, g):
     b, n, h, d = q.shape
     sublane = 16 if q.dtype == jnp.bfloat16 else 8
     n_pad = _round_up(n, sublane)
+    group = _pick_group(b * h, n_pad)
     qp, kp, vp, gp = (_prep_bh(x, n_pad) for x in (q, k, v, g))
     kernel = functools.partial(
-        _dropattn_bwd_kernel, scale=d**-0.5, valid_len=n, rate=rate
+        _dropattn_bwd_kernel, scale=d**-0.5, valid_len=n, rate=rate,
+        group=group,
     )
-    bh_spec = pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+    bh_spec = pl.BlockSpec((group, n_pad, d), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype)
     dq, dk, dv = pl.pallas_call(
         kernel,
-        grid=(b * h,),
-        in_specs=[_SEED_SPEC] + _bh_specs(n_pad, d, 4),
+        grid=(b * h // group,),
+        in_specs=[_SEED_SPEC] + _bh_specs(n_pad, d, 4, group),
         out_specs=(bh_spec, bh_spec, bh_spec),
         out_shape=(shape, shape, shape),
         interpret=interpret,
-        **_vmem_params(n_pad),
+        **_vmem_params(n_pad, group),
     )(seed, qp, kp, vp, gp)
 
     def unprep(x):
