@@ -29,6 +29,8 @@ from jax.sharding import PartitionSpec as P
 
 _logger = logging.getLogger("maskbit_tpu")
 
+_warned_no_mesh_api = False
+
 
 def _kernel_mesh():
     """The ambient `with mesh:` Mesh, if these kernels can self-partition.
@@ -45,7 +47,14 @@ def _kernel_mesh():
         from jax._src import mesh as mesh_lib
 
         m = mesh_lib.thread_resources.env.physical_mesh
-    except Exception:  # noqa: BLE001 — internal API; fall back to unsharded
+    except Exception as exc:  # noqa: BLE001 — internal API; fall back to unsharded
+        global _warned_no_mesh_api
+        if not _warned_no_mesh_api:
+            _warned_no_mesh_api = True
+            _logger.warning(
+                "pallas attention: ambient-mesh detection failed (%s) — "
+                "kernel self-partitioning disabled; on a multi-chip mesh "
+                "GSPMD will all-gather q/k/v and replicate the kernels", exc)
         return None
     if m is None or m.empty or m.size <= 1:
         return None
@@ -56,6 +65,30 @@ def _kernel_mesh():
 
 def _batch_shards(mesh) -> int:
     return mesh.shape["data"] * mesh.shape["fsdp"]
+
+
+def _self_partition(name, local_fn, in_specs, out_specs, args,
+                    *, batch, heads=None, need_tensor_1=False):
+    """shard_map `local_fn` over the ambient mesh when the shapes divide it;
+    otherwise warn (on a multi-chip mesh GSPMD would all-gather the operands
+    and replicate the opaque Mosaic call) and run unpartitioned. No-mesh
+    callers skip the wrap silently — there is nothing to partition."""
+    mesh = _kernel_mesh()
+    if mesh is None:
+        return local_fn(*args)
+    ok = batch % _batch_shards(mesh) == 0
+    if heads is not None:
+        ok = ok and heads % mesh.shape["tensor"] == 0
+    if need_tensor_1:
+        ok = ok and mesh.shape["tensor"] == 1
+    if not ok:
+        _logger.warning(
+            "%s: shapes (batch=%d, heads=%s) do not divide mesh %s — "
+            "falling back to the unpartitioned kernel (GSPMD will replicate "
+            "it on a multi-chip mesh)", name, batch, heads, dict(mesh.shape))
+        return local_fn(*args)
+    return jax.shard_map(local_fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)(*args)
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):
@@ -109,16 +142,11 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Inside `with mesh:` the call self-partitions over (data, fsdp) x tensor
     via shard_map (see _kernel_mesh)."""
     b, n, h, d = q.shape
-    mesh = _kernel_mesh()
-    if (mesh is not None and b % _batch_shards(mesh) == 0
-            and h % mesh.shape["tensor"] == 0):
-        spec = P(("data", "fsdp"), None, "tensor", None)
-        return jax.shard_map(
-            functools.partial(_fused_attention_local, bool(interpret)),
-            mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-            check_vma=False,
-        )(q, k, v)
-    return _fused_attention_local(bool(interpret), q, k, v)
+    spec = P(("data", "fsdp"), None, "tensor", None)
+    return _self_partition(
+        "fused_attention",
+        functools.partial(_fused_attention_local, bool(interpret)),
+        (spec, spec, spec), spec, (q, k, v), batch=b, heads=h)
 
 
 # --- training attention with in-kernel dropout ------------------------------
@@ -369,8 +397,27 @@ def _pick_group(bh: int, n_pad: int) -> int:
 
     env = os.environ.get("MASKBIT_DROPATTN_GROUP", "auto")
     if env != "auto":
-        g = int(env)
-        return g if g > 0 and bh % g == 0 else 1
+        try:
+            g = int(env)
+        except ValueError:
+            _logger.warning("MASKBIT_DROPATTN_GROUP=%r is not an integer — "
+                            "using the auto schedule", env)
+            return 1
+        if g <= 0 or bh % g:
+            if g != 1:
+                _logger.warning("MASKBIT_DROPATTN_GROUP=%d does not divide "
+                                "b*h=%d — using G=1", g, bh)
+            return 1
+        # the bwd kernel's ~5 f32 (G, n_pad, n_pad) temporaries must fit the
+        # raised 100 MB VMEM scope; clamp to the largest fitting divisor
+        max_g = max(1, (96 * 1024 * 1024) // (n_pad * n_pad * 4 * 5))
+        if g > max_g:
+            while max_g > 1 and bh % max_g:
+                max_g -= 1
+            _logger.warning("MASKBIT_DROPATTN_GROUP=%d exceeds the VMEM "
+                            "bound at n_pad=%d — clamping to %d", g, n_pad, max_g)
+            return max_g
+        return g
     return 1
 
 
@@ -464,23 +511,12 @@ def dropout_attention(q, k, v, seeds, rate: float, interpret: bool = False):
     assert seeds.shape == (b, h), f"seeds must be (batch, heads), got {seeds.shape}"
     if seeds.dtype != jnp.int32:
         seeds = jax.lax.bitcast_convert_type(seeds, jnp.int32)
-    mesh = _kernel_mesh()
-    if mesh is not None:
-        if b % _batch_shards(mesh) == 0 and h % mesh.shape["tensor"] == 0:
-            spec = P(("data", "fsdp"), None, "tensor", None)
-            return jax.shard_map(
-                functools.partial(_dropout_attention_local,
-                                  float(rate), bool(interpret)),
-                mesh=mesh,
-                in_specs=(spec, spec, spec, P(("data", "fsdp"), "tensor")),
-                out_specs=spec,
-                check_vma=False,
-            )(q, k, v, seeds)
-        _logger.warning(
-            "dropout_attention: (b=%d, h=%d) not divisible by mesh %s — "
-            "falling back to the unpartitioned kernel (GSPMD will replicate "
-            "it on a multi-chip mesh)", b, h, dict(mesh.shape))
-    return _dropout_attention_local(float(rate), bool(interpret), q, k, v, seeds)
+    spec = P(("data", "fsdp"), None, "tensor", None)
+    return _self_partition(
+        "dropout_attention",
+        functools.partial(_dropout_attention_local, float(rate), bool(interpret)),
+        (spec, spec, spec, P(("data", "fsdp"), "tensor")), spec,
+        (q, k, v, seeds), batch=b, heads=h)
 
 
 # --- fully fused postnorm attention block -----------------------------------
@@ -565,22 +601,16 @@ def fused_attention_block(
     cannot partition a Mosaic call). Requires tensor == 1: the packed
     [q|k|v] weight columns do not split head-wise under a plain tensor
     annotation."""
-    mesh = _kernel_mesh()
-    if (mesh is not None and x.shape[0] % _batch_shards(mesh) == 0
-            and mesh.shape["tensor"] == 1):
-        rep = P()
-        return jax.shard_map(
-            functools.partial(_fused_attention_block_local,
-                              num_heads=num_heads, eps=eps,
-                              interpret=bool(interpret)),
-            mesh=mesh,
-            in_specs=(P(("data", "fsdp")), rep, rep, rep, rep, rep, rep),
-            out_specs=P(("data", "fsdp")),
-            check_vma=False,
-        )(x, wqkv, bqkv, wo, bo, ln_scale, ln_bias)
-    return _fused_attention_block_local(
-        x, wqkv, bqkv, wo, bo, ln_scale, ln_bias,
-        num_heads=num_heads, eps=eps, interpret=bool(interpret))
+    rep = P()
+    return _self_partition(
+        "fused_attention_block",
+        functools.partial(_fused_attention_block_local,
+                          num_heads=num_heads, eps=eps,
+                          interpret=bool(interpret)),
+        (P(("data", "fsdp")), rep, rep, rep, rep, rep, rep),
+        P(("data", "fsdp")),
+        (x, wqkv, bqkv, wo, bo, ln_scale, ln_bias),
+        batch=x.shape[0], need_tensor_1=True)
 
 
 def _fused_attention_block_local(
