@@ -293,6 +293,65 @@ def test_generator_train_step_with_fused_dropout(rng):
     assert any(float(jnp.max(jnp.abs(g))) > 0 for g in leaves)
 
 
+def test_self_partition_fallback_warns_and_matches(rng, caplog):
+    """Shapes that don't divide the mesh fall back to the unpartitioned
+    kernel with a warning (on real multi-chip hardware GSPMD would
+    replicate the opaque Mosaic call — the warning is the only signal) and
+    identical numbers."""
+    import logging
+    from jax.sharding import Mesh
+    from maskbit_tpu.nn.pallas_attention import dropout_attention, fused_attention
+
+    b, n, h, d, rate = 3, 33, 4, 32, 0.3  # b=3 does not divide data*fsdp=4
+    q, k, v = (jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32) for _ in range(3))
+    seeds = _seeds(b, h, 7)
+    plain_drop = dropout_attention(q, k, v, seeds, rate, interpret=True)
+    plain_fused = fused_attention(q, k, v, interpret=True)
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 2, 2)
+    with Mesh(devs, ("data", "fsdp", "tensor")):
+        jaxpr = str(jax.make_jaxpr(
+            lambda q, k, v: dropout_attention(q, k, v, seeds, rate, interpret=True)
+        )(q, k, v))
+        assert "shard_map" not in jaxpr
+        with caplog.at_level(logging.WARNING, logger="maskbit_tpu"):
+            mesh_drop = dropout_attention(q, k, v, seeds, rate, interpret=True)
+            mesh_fused = fused_attention(q, k, v, interpret=True)
+    messages = [r.getMessage() for r in caplog.records]
+    assert any("dropout_attention" in m and "unpartitioned" in m for m in messages)
+    assert any("fused_attention:" in m and "unpartitioned" in m for m in messages)
+    np.testing.assert_array_equal(np.asarray(mesh_drop), np.asarray(plain_drop))
+    np.testing.assert_array_equal(np.asarray(mesh_fused), np.asarray(plain_fused))
+
+
+def test_dropattn_group_override_validation(monkeypatch, caplog):
+    """MASKBIT_DROPATTN_GROUP is a measurement knob: malformed or
+    non-dividing values must degrade to G=1 with a warning (not crash
+    mid-trace), and legal values must be clamped to the bwd kernel's VMEM
+    bound (5 f32 (G, n_pad, n_pad) temporaries within the raised 100 MB
+    scope) instead of compiling past it."""
+    import logging
+    from maskbit_tpu.nn.pallas_attention import _pick_group
+
+    with caplog.at_level(logging.WARNING, logger="maskbit_tpu"):
+        monkeypatch.setenv("MASKBIT_DROPATTN_GROUP", "two")
+        assert _pick_group(64, 272) == 1
+        monkeypatch.setenv("MASKBIT_DROPATTN_GROUP", "3")
+        assert _pick_group(64, 272) == 1  # 3 does not divide 64
+        monkeypatch.setenv("MASKBIT_DROPATTN_GROUP", "8")
+        assert _pick_group(64, 272) == 8  # fits: 8*272^2*20 = 11.8 MB
+        # 512px: 8*1040^2*20 = 173 MB > the 100 MB scope -> clamped to a
+        # fitting divisor of b*h (96 MB bound / (1040^2*20) = 4)
+        clamped = _pick_group(64, 1040)
+        assert clamped == 4
+    messages = [r.getMessage() for r in caplog.records]
+    assert any("not an integer" in m for m in messages)
+    assert any("does not divide" in m for m in messages)
+    assert any("clamping" in m for m in messages)
+    monkeypatch.setenv("MASKBIT_DROPATTN_GROUP", "auto")
+    assert _pick_group(64, 272) == 1  # auto stays G=1 until measured faster
+
+
 def test_fused_attention_block_512px_seq(rng):
     """512px shapes (n=1025, E=1024): the fused block raises its own
     `vmem_limit_bytes` for long sequences (measured 1.8x over XLA on v5e) —
