@@ -69,7 +69,6 @@ def main(argv=None):
         mesh = local_mesh(MeshConfig(data=-1, fsdp=fsdp, tensor=tensor))
     batch_size = int(config.select("eval.batch_size", 100))
     data_shards = mesh.shape["data"] * mesh.shape["fsdp"]
-    device_batch = batch_size
     if data_shards > 1:
         # shard each generation batch over the mesh's data axis. The
         # COMPILED batch is padded up to a shard multiple (the default
@@ -78,13 +77,13 @@ def main(argv=None):
         # same global-index masking as the final per-host batch.
         from maskbit_tpu.sampling.serve import make_sharded_sampler
 
-        device_batch = -(-batch_size // data_shards) * data_shards
-        if device_batch != batch_size:
+        rounded = -(-batch_size // data_shards) * data_shards
+        if rounded != batch_size:
             logger.info(
-                f"eval.batch_size {batch_size} rounded up to {device_batch} "
+                f"eval.batch_size {batch_size} rounded up to {rounded} "
                 f"to fill {data_shards} batch shards"
             )
-            batch_size = device_batch
+            batch_size = rounded
         logger.info(f"sharding generation batches over {data_shards} devices")
         sharded = make_sharded_sampler(generator, tokenizer, sampling_cfg, mesh)
         sampler = lambda gv, tv, key, y: (sharded(gv, tv, key, y), None)
@@ -128,7 +127,7 @@ def main(argv=None):
         key, sub = jax.random.split(key)
         chunk = local_labels[i * batch_size : (i + 1) * batch_size]
         valid = len(chunk)
-        y_np = np.zeros((device_batch,), np.int32)
+        y_np = np.zeros((batch_size,), np.int32)
         y_np[:valid] = chunk  # pad rows sample class 0; discarded below
         images, _ = sampler(gen_vars, tok_vars, sub, jnp.asarray(y_np))
         # stay on device: images -> [0,255] -> inception features, only the
