@@ -18,6 +18,19 @@ import numpy as np
 from scipy import linalg
 
 
+def _sqrtm_quiet(a: np.ndarray) -> np.ndarray:
+    """Matrix sqrt without the inaccuracy print (reference uses disp=False).
+
+    scipy < 1.18 needs disp=False to suppress the print and returns
+    (sqrtm, errest); 1.18 removes `disp` and never prints."""
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            return linalg.sqrtm(a, disp=False)[0]
+    except TypeError:
+        return linalg.sqrtm(a)
+
+
 def get_covariance(sigma_sum: np.ndarray, total_sum: np.ndarray, num_examples: int) -> np.ndarray:
     """Unbiased covariance from sum-of-outer-products and sum-of-features
     (reference evaluator.py get_covariance)."""
@@ -39,7 +52,7 @@ def frechet_distance(
     # eps fallback runs FIRST, then the imaginary-component check applies to
     # whichever covmean survived — a complex-NaN sqrtm must reach the
     # fallback, not raise
-    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    covmean = _sqrtm_quiet(sigma1.dot(sigma2))
     if not np.isfinite(covmean).all():
         warnings.warn("FID covariance product nearly singular; using eps fallback")
         offset = np.eye(sigma1.shape[0]) * eps
