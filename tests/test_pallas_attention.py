@@ -293,7 +293,7 @@ def test_generator_train_step_with_fused_dropout(rng):
     assert any(float(jnp.max(jnp.abs(g))) > 0 for g in leaves)
 
 
-def test_self_partition_fallback_warns_and_matches(rng, caplog):
+def test_self_partition_fallback_warns_and_matches(rng, caplog, monkeypatch):
     """Shapes that don't divide the mesh fall back to the unpartitioned
     kernel with a warning (on real multi-chip hardware GSPMD would
     replicate the opaque Mosaic call — the warning is the only signal) and
@@ -301,6 +301,11 @@ def test_self_partition_fallback_warns_and_matches(rng, caplog):
     import logging
     from jax.sharding import Mesh
     from maskbit_tpu.nn.pallas_attention import dropout_attention, fused_attention
+
+    # caplog's handler sits on the root logger; if an earlier in-process CLI
+    # test ran setup_logger (which sets propagate=False), records would never
+    # reach it — re-enable propagation for this test only
+    monkeypatch.setattr(logging.getLogger("maskbit_tpu"), "propagate", True)
 
     b, n, h, d, rate = 3, 33, 4, 32, 0.3  # b=3 does not divide data*fsdp=4
     q, k, v = (jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32) for _ in range(3))
@@ -332,6 +337,10 @@ def test_dropattn_group_override_validation(monkeypatch, caplog):
     scope) instead of compiling past it."""
     import logging
     from maskbit_tpu.nn.pallas_attention import _pick_group
+
+    # see test_self_partition_fallback_warns_and_matches: undo a CLI test's
+    # propagate=False so caplog can see the records
+    monkeypatch.setattr(logging.getLogger("maskbit_tpu"), "propagate", True)
 
     with caplog.at_level(logging.WARNING, logger="maskbit_tpu"):
         monkeypatch.setenv("MASKBIT_DROPATTN_GROUP", "two")
