@@ -56,7 +56,7 @@ def frechet_distance(
     if not np.isfinite(covmean).all():
         warnings.warn("FID covariance product nearly singular; using eps fallback")
         offset = np.eye(sigma1.shape[0]) * eps
-        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+        covmean = _sqrtm_quiet((sigma1 + offset).dot(sigma2 + offset))
     if np.iscomplexobj(covmean):
         if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
             m = np.max(np.abs(covmean.imag))
