@@ -8,7 +8,9 @@ pass (DCT-domain scaled decode for large sources) and releases the GIL, so
 the thread-pool decode backend scales across cores.
 
 The shared library is compiled from decode.cc on first use with the system
-g++/libjpeg (no pip deps) and cached next to this file; `is_available()`
+g++/libjpeg (no pip deps) and cached next to this file — or, when the
+package directory is read-only (site-packages installs), under
+`$XDG_CACHE_HOME/maskbit_tpu/` keyed by source hash. `is_available()`
 gates all callers, which fall back to the PIL path when the toolchain or
 libjpeg is missing.
 """
@@ -32,23 +34,37 @@ _lib: Optional[ctypes.CDLL] = None
 _build_error: Optional[str] = None
 
 
-def _build() -> Optional[str]:
-    """Compile decode.cc -> libmaskbit_decode.so. Returns an error or None.
+def _cache_lib_path() -> str:
+    """Per-user fallback .so path when the package directory is read-only
+    (a site-packages install). Keyed by the source hash so a package upgrade
+    rebuilds instead of dlopen-ing a stale cache."""
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        src_hash = hashlib.sha256(f.read()).hexdigest()[:12]
+    root = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache")
+    return os.path.join(root, "maskbit_tpu", f"libmaskbit_decode-{src_hash}.so")
+
+
+def _build(lib_path: str) -> Optional[str]:
+    """Compile decode.cc -> `lib_path`. Returns an error or None.
 
     Compiles to a per-process temp path and os.rename()s into place:
     concurrent processes (a train CLI + an eval CLI, parallel test workers)
     may build simultaneously, and a reader must never dlopen a half-written
     file — rename within one directory is atomic, last writer wins."""
-    tmp_path = f"{_LIB_PATH}.tmp.{os.getpid()}"
+    tmp_path = f"{lib_path}.tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
         _SRC, "-ljpeg", "-o", tmp_path,
     ]
     try:
+        os.makedirs(os.path.dirname(lib_path), exist_ok=True)
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
         if proc.returncode != 0:
             return proc.stderr[-2000:]
-        os.rename(tmp_path, _LIB_PATH)
+        os.rename(tmp_path, lib_path)
     except (OSError, subprocess.TimeoutExpired) as e:
         return f"{type(e).__name__}: {e}"
     finally:
@@ -65,15 +81,21 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_error is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH) or (
-            os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
+        # prefer the package-dir .so (dev checkout; mtime-checked against the
+        # source); read-only installs build into a per-user cache instead
+        if os.path.exists(_LIB_PATH) and (
+            os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)
         ):
-            err = _build()
-            if err is not None:
-                _build_error = err
-                return None
+            lib_path = _LIB_PATH
+        else:
+            lib_path = _LIB_PATH if os.access(_DIR, os.W_OK) else _cache_lib_path()
+            if lib_path == _LIB_PATH or not os.path.exists(lib_path):
+                err = _build(lib_path)
+                if err is not None:
+                    _build_error = err
+                    return None
         try:
-            lib = ctypes.CDLL(_LIB_PATH)
+            lib = ctypes.CDLL(lib_path)
         except OSError as e:
             _build_error = str(e)
             return None

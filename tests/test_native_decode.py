@@ -176,3 +176,36 @@ def test_truncated_jpeg_errors_cleanly():
     out = native.decode_crop_resize(full[: len(full) // 2],
                                     0, 0, 200, 300, 64, 64, False)
     assert out.shape == (64, 64, 3)
+
+
+def test_readonly_package_dir_builds_into_user_cache(tmp_path, monkeypatch):
+    """Installed (read-only site-packages) layout: no prebuilt .so next to
+    the package and an unwritable package dir must build into
+    $XDG_CACHE_HOME/maskbit_tpu (keyed by source hash) instead of silently
+    losing the native backend. os.access can't be used to simulate this as
+    root, so patch it."""
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_build_error", None)
+    # pretend the package-dir .so does not exist and the dir is unwritable
+    monkeypatch.setattr(native, "_LIB_PATH", str(tmp_path / "ro" / "lib.so"))
+    monkeypatch.setattr(native.os, "access", lambda p, m: False)
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "cache"))
+
+    cache_path = native._cache_lib_path()
+    assert str(tmp_path / "cache") in cache_path
+    try:
+        assert native.is_available(), native.build_error()
+        assert os.path.exists(cache_path)
+        w, h = native.decode_info(_tiny_jpeg())
+        assert (w, h) == (48, 32)
+    finally:
+        # monkeypatch restores the globals' *attributes*, but a lib loaded
+        # during the test must not leak into later tests' module state
+        native._lib = None
+        native._build_error = None
+
+
+def _tiny_jpeg() -> bytes:
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((32, 48, 3), np.uint8)).save(buf, format="JPEG")
+    return buf.getvalue()
