@@ -92,9 +92,43 @@ def maybe_init_distributed() -> None:
         jax.distributed.initialize()
 
 
+def enable_compilation_cache(config: Config | None = None) -> None:
+    """Persistent XLA compilation cache for every long-lived entry point.
+
+    Compiles over the TPU relay cost ~2 min per jit'd program, and serve
+    restarts / repeated evals re-pay all of them; the cache is
+    content-addressed and compiler-version-keyed, so reuse is safe. No-op
+    when a cache dir is already configured (the test conftest sets its own).
+    Opt out with experiment.compilation_cache=false (or
+    MASKBIT_COMPILE_CACHE=0); dir override via
+    experiment.compilation_cache_dir (or MASKBIT_COMPILE_CACHE_DIR)."""
+    if jax.config.jax_compilation_cache_dir:
+        return
+    enabled = os.environ.get("MASKBIT_COMPILE_CACHE", "1") != "0"
+    if config is not None:
+        enabled = bool(config.select("experiment.compilation_cache", enabled))
+    if not enabled:
+        return
+    cache_dir = os.environ.get("MASKBIT_COMPILE_CACHE_DIR")
+    if config is not None:
+        cache_dir = config.select("experiment.compilation_cache_dir", cache_dir)
+    if not cache_dir:
+        root = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+            os.path.expanduser("~"), ".cache")
+        cache_dir = os.path.join(root, "maskbit_tpu", "xla_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # Persist only genuinely expensive programs. Relay compiles take minutes,
+    # so they always qualify; sub-second init programs (truncated_normal and
+    # friends) hover around the 1s default on a loaded host and would churn
+    # the cache with per-run writes (measured: demo cache grew 4->6->8 across
+    # identical runs before this was raised).
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
 def setup_experiment(config: Config, subdir: str = ""):
     """Workspace dirs, logger, tracker, seed, mesh — returns a context dict."""
     maybe_init_distributed()
+    enable_compilation_cache(config)
     workspace = os.environ.get("WORKSPACE", "./workspace")
     name = config.select("experiment.name", "run")
     output_dir = os.path.join(workspace, name, subdir) if subdir else os.path.join(workspace, name)

@@ -100,7 +100,10 @@ def visualize_reconstruction(tokenizer, tok_vars, images: np.ndarray):
 
 
 def main(argv=None):
+    from maskbit_tpu.cli.common import enable_compilation_cache
+
     config = config_from_cli(argv if argv is not None else sys.argv[1:])
+    enable_compilation_cache(config)
     tokenizer, tok_vars = get_tokenizer(config)
     generator, gen_vars = get_generator(config)
     labels = config.select("demo.labels", None)

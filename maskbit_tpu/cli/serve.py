@@ -64,6 +64,7 @@ class GeneratorService:
 
     def __init__(self, config):
         from maskbit_tpu.cli.common import (
+            enable_compilation_cache,
             load_generation_models,
             validate_generator_config,
         )
@@ -71,6 +72,9 @@ class GeneratorService:
         from maskbit_tpu.utils.logger import setup_logger
 
         validate_generator_config(config)
+        # restartable serving: the warmup compile is the whole startup cost
+        # (~minutes over the relay); the persistent cache makes restarts warm
+        enable_compilation_cache(config)
         self.logger = setup_logger(name="maskbit_serve")
         # shared loader (cli/common.py). fallback='zeros': a full-size real
         # init's several hundred samplers take minutes to compile over the

@@ -432,3 +432,52 @@ def test_train_maskbit_cli_fsdp_sharded_resume(tmp_path, monkeypatch):
     metrics = [json.loads(l) for l in open(out_dir / "metrics.jsonl")]
     steps = [m["step"] for m in metrics if "mlm_loss" in m]
     assert max(steps) == 4
+
+
+def test_enable_compilation_cache_knobs(monkeypatch, tmp_path):
+    """The persistent-cache helper must not clobber an already-configured
+    cache dir (the conftest's), must derive the XDG default when none is
+    set, and must honor the opt-out and explicit-dir knobs."""
+    import jax
+
+    from maskbit_tpu.cli.common import enable_compilation_cache
+    from maskbit_tpu.core.config import Config
+
+    before = jax.config.jax_compilation_cache_dir
+    before_min_secs = jax.config.jax_persistent_cache_min_compile_time_secs
+    assert before  # conftest points the suite at tests/.jax_cache
+    enable_compilation_cache(None)
+    assert jax.config.jax_compilation_cache_dir == before
+    # no-op path must not touch the persistence threshold either
+    assert jax.config.jax_persistent_cache_min_compile_time_secs == before_min_secs
+
+    try:
+        # no dir configured -> XDG default
+        jax.config.update("jax_compilation_cache_dir", None)
+        monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+        monkeypatch.delenv("MASKBIT_COMPILE_CACHE", raising=False)
+        enable_compilation_cache(None)
+        assert jax.config.jax_compilation_cache_dir == os.path.join(
+            str(tmp_path), "maskbit_tpu", "xla_cache")
+        # enabling raises the persistence threshold to expensive-only
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 5.0
+
+        # config opt-out wins
+        jax.config.update("jax_compilation_cache_dir", None)
+        enable_compilation_cache(Config({"experiment": {"compilation_cache": False}}))
+        assert not jax.config.jax_compilation_cache_dir
+
+        # explicit dir via config
+        enable_compilation_cache(Config(
+            {"experiment": {"compilation_cache_dir": str(tmp_path / "explicit")}}))
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "explicit")
+
+        # env opt-out
+        jax.config.update("jax_compilation_cache_dir", None)
+        monkeypatch.setenv("MASKBIT_COMPILE_CACHE", "0")
+        enable_compilation_cache(None)
+        assert not jax.config.jax_compilation_cache_dir
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", before_min_secs)
