@@ -18,6 +18,14 @@ from typing import Any, Iterable, Mapping, Optional
 import yaml
 
 _INTERP_RE = re.compile(r"^\$\{([a-zA-Z0-9_.]+)\}$")
+# Reference config keys that were renamed for TPU ("gpu" -> "device").
+# Normalized in load_config so the reference repo's YAML files (and dotted
+# CLI overrides written against them) work verbatim; see
+# /root/reference/configs/tokenizer/maskbit_tokenizer_12bit.yaml:57,81.
+_LEGACY_KEY_ALIASES = {
+    "training.per_gpu_batch_size": "training.per_device_batch_size",
+    "dataset.params.num_workers_per_gpu": "dataset.params.num_workers_per_device",
+}
 # YAML 1.1 fails to parse "1e-4" as a float (requires "1.0e-4"); coerce such
 # scientific-notation strings the way OmegaConf does.
 _FLOAT_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
@@ -212,8 +220,34 @@ def load_config(
         cfg.update_dotted(key, _parse_cli_value(raw.strip()))
         tree = cfg.to_dict()
 
+    tree = _apply_legacy_aliases(tree)
     tree = _resolve_interpolations(_coerce_tree(tree))
     return Config(tree)
+
+
+def _apply_legacy_aliases(tree: dict) -> dict:
+    """Move renamed reference keys onto their TPU names (new name wins)."""
+
+    def node_at(path: list) -> Any:
+        node: Any = tree
+        for part in path:
+            if not isinstance(node, dict) or part not in node:
+                return None
+            node = node[part]
+        return node
+
+    for old, new in _LEGACY_KEY_ALIASES.items():
+        *old_parents, old_leaf = old.split(".")
+        parent = node_at(old_parents)
+        if not isinstance(parent, dict) or old_leaf not in parent:
+            continue
+        value = parent.pop(old_leaf)
+        *new_parents, new_leaf = new.split(".")
+        new_parent: Any = tree
+        for part in new_parents:
+            new_parent = new_parent.setdefault(part, {})
+        new_parent.setdefault(new_leaf, value)
+    return tree
 
 
 def config_from_cli(argv: Iterable[str]) -> Config:

@@ -102,3 +102,34 @@ def test_validate_generator_config():
         validate_generator_config(cfg(model__mlm_model__input_stride=8))
     with pytest.raises(ValueError, match="img_size"):
         validate_generator_config(cfg(model__mlm_model__img_size=512))
+
+
+def test_legacy_reference_keys_alias(tmp_path):
+    """Reference-repo YAMLs (per_gpu_batch_size, num_workers_per_gpu) load
+    verbatim: the legacy names move onto the TPU names, an explicit new-name
+    value wins, and legacy dotted CLI overrides are honored too."""
+    path = tmp_path / "ref.yaml"
+    path.write_text(textwrap.dedent(
+        """
+        training:
+            per_gpu_batch_size: 48
+            enable_tf32: True
+        dataset:
+            params:
+                num_workers_per_gpu: 4
+                pin_memory: True
+        """
+    ))
+    cfg = load_config(str(path))
+    assert cfg.training.per_device_batch_size == 48
+    assert cfg.dataset.params.num_workers_per_device == 4
+    assert "per_gpu_batch_size" not in cfg.training
+    assert "num_workers_per_gpu" not in cfg.dataset.params
+
+    # explicit new-style key wins over the legacy one
+    cfg = load_config(str(path), overrides=["training.per_device_batch_size=8"])
+    assert cfg.training.per_device_batch_size == 8
+
+    # a legacy key given as a CLI override is normalized as well
+    cfg = load_config(str(path), overrides=["training.per_gpu_batch_size=96"])
+    assert cfg.training.per_device_batch_size == 96
