@@ -113,9 +113,9 @@ def enable_compilation_cache(config: Config | None = None) -> None:
     if config is not None:
         cache_dir = config.select("experiment.compilation_cache_dir", cache_dir)
     if not cache_dir:
-        root = os.environ.get("XDG_CACHE_HOME") or os.path.join(
-            os.path.expanduser("~"), ".cache")
-        cache_dir = os.path.join(root, "maskbit_tpu", "xla_cache")
+        from maskbit_tpu.utils.paths import user_cache_dir
+
+        cache_dir = user_cache_dir("xla_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # Persist only genuinely expensive programs. Relay compiles take minutes,
     # so they always qualify; sub-second init programs (truncated_normal and

@@ -262,16 +262,23 @@ def main(argv=None):
                 # lockstep) and gather the EMA params + viz tokens — a
                 # collective when fsdp/tensor span processes, where reading
                 # them from main-only host code would crash/deadlock
-                from maskbit_tpu.parallel.mesh import host_accessible
+                from maskbit_tpu.parallel.mesh import (
+                    host_accessible,
+                    host_local_mesh,
+                )
 
                 rng_step, sub = jax.random.split(rng_step)
                 eval_params = host_accessible(_eval_params(state))
                 viz_payload = host_accessible(viz_payload)
                 if is_main_process():
-                    gen_images, _ = sampler(
-                        {"params": eval_params}, tokenizer_vars, sub,
-                        jnp.asarray(batch["class_id"][:num_gen]),
-                    )
+                    # host_local_mesh: this is a main-only host-local call —
+                    # the Pallas kernels must not self-partition over a mesh
+                    # that spans other processes
+                    with host_local_mesh():
+                        gen_images, _ = sampler(
+                            {"params": eval_params}, tokenizer_vars, sub,
+                            jnp.asarray(batch["class_id"][:num_gen]),
+                        )
                     _, grid = make_viz_generated_stage_two(np.asarray(jnp.clip(gen_images, 0, 1)))
                     tracker.log_image("train/generated", grid, global_step)
 
@@ -287,12 +294,20 @@ def main(argv=None):
                 last_saved = global_step
 
             if global_step % eval_every == 0:
-                from maskbit_tpu.parallel.mesh import host_accessible
-
-                results = _eval_generation(
-                    config, sampler, {"params": host_accessible(_eval_params(state))},
-                    tokenizer_vars, rng_step, logger,
+                from maskbit_tpu.parallel.mesh import (
+                    host_accessible,
+                    host_local_mesh,
                 )
+
+                # every host redundantly evaluates the same samples
+                # (reference eval_generation semantics); the sampling is
+                # host-local, so keep the kernels off the cross-process mesh
+                eval_vars = {"params": host_accessible(_eval_params(state))}
+                with host_local_mesh():
+                    results = _eval_generation(
+                        config, sampler, eval_vars,
+                        tokenizer_vars, rng_step, logger,
+                    )
                 if results:
                     tracker.log({f"eval/{k}": v for k, v in results.items()}, global_step)
                     logger.info(f"eval @ {global_step}: {results}")

@@ -209,6 +209,9 @@ def load_config(
             loaded = yaml.safe_load(f) or {}
         tree = _deep_merge(tree, loaded)
 
+    # Normalize file keys before overrides so a CLI override always wins
+    # (OmegaConf last-wins semantics), whichever spelling either side uses.
+    tree = _apply_legacy_aliases(tree)
     for item in overrides or []:
         if "=" not in item:
             raise ValueError(f"Override {item!r} must look like key.path=value")
@@ -216,11 +219,11 @@ def load_config(
         key = key.strip()
         if key == "config":
             continue
+        key = _LEGACY_KEY_ALIASES.get(key, key)
         cfg = Config(tree)
         cfg.update_dotted(key, _parse_cli_value(raw.strip()))
         tree = cfg.to_dict()
 
-    tree = _apply_legacy_aliases(tree)
     tree = _resolve_interpolations(_coerce_tree(tree))
     return Config(tree)
 

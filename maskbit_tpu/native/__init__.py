@@ -40,11 +40,11 @@ def _cache_lib_path() -> str:
     rebuilds instead of dlopen-ing a stale cache."""
     import hashlib
 
+    from maskbit_tpu.utils.paths import user_cache_dir
+
     with open(_SRC, "rb") as f:
         src_hash = hashlib.sha256(f.read()).hexdigest()[:12]
-    root = os.environ.get("XDG_CACHE_HOME") or os.path.join(
-        os.path.expanduser("~"), ".cache")
-    return os.path.join(root, "maskbit_tpu", f"libmaskbit_decode-{src_hash}.so")
+    return user_cache_dir(f"libmaskbit_decode-{src_hash}.so")
 
 
 def _build(lib_path: str) -> Optional[str]:

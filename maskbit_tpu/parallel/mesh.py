@@ -263,6 +263,40 @@ def host_accessible(tree):
     return jax.tree.map(fix, tree)
 
 
+def host_local_mesh():
+    """Context manager: neutralize the ambient multi-chip mesh for
+    host-local computations on a pod.
+
+    The train CLIs run their periodic viz/eval sampling inside the training
+    ``with mesh:`` block, on host-gathered (fully addressable) params — a
+    host-local computation, sometimes made by the main process alone. The
+    Pallas attention kernels self-partition over the ambient mesh
+    (nn/pallas_attention._kernel_mesh), which on a MULTI-PROCESS mesh would
+    shard_map a single-host call over non-addressable devices (crash /
+    pod deadlock) or pin outputs to the global mesh where ``np.asarray``
+    on them raises. Entering a size-1 mesh makes ambient-mesh consumers
+    see "no mesh" while leaving jit behavior otherwise unchanged (the jit
+    cache is keyed by the mesh context, so traces stay consistent).
+
+    The replacement is a SIZE-1 mesh, i.e. the kernels run unpartitioned.
+    A host-local mesh over all local devices does not work instead: the
+    host_accessible-gathered params stay committed to the global mesh
+    (fully-replicated pass-through), and a shard_map over only the local
+    devices then fails with "incompatible devices" — measured in
+    tests/test_multiprocess.py::..._fused_attention_host_local_viz.
+    Viz batches are tiny and the in-train eval is redundant per host
+    anyway; the full 50k eval (cli/eval_maskbit) keeps its own per-host
+    mesh-sharded sampler. No-op single-process, where the ambient mesh is
+    already host-local and self-partitioning is safe and faster.
+    """
+    import contextlib
+
+    if jax.process_count() == 1:
+        return contextlib.nullcontext()
+    return Mesh(np.asarray(jax.local_devices()[:1]).reshape(1, 1, 1),
+                ("data", "fsdp", "tensor"))
+
+
 def is_main_process() -> bool:
     return jax.process_index() == 0
 

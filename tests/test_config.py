@@ -133,3 +133,10 @@ def test_legacy_reference_keys_alias(tmp_path):
     # a legacy key given as a CLI override is normalized as well
     cfg = load_config(str(path), overrides=["training.per_gpu_batch_size=96"])
     assert cfg.training.per_device_batch_size == 96
+
+    # ...and a legacy CLI override beats a new-style key in the YAML
+    # (OmegaConf last-wins semantics)
+    path2 = tmp_path / "new.yaml"
+    path2.write_text("training:\n    per_device_batch_size: 32\n")
+    cfg = load_config(str(path2), overrides=["training.per_gpu_batch_size=64"])
+    assert cfg.training.per_device_batch_size == 64

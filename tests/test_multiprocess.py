@@ -711,3 +711,62 @@ def test_eval_tokenizer_cli_two_processes(tmp_path):
         # near-zero latents, perturbing reconstructions slightly — hence a
         # 1% band, not equality
         assert abs(results[0][k] - v) <= 1e-2 * max(1.0, abs(v)), (k, results[0][k], v)
+
+
+def test_train_maskbit_cli_fused_attention_host_local_viz(tmp_path):
+    """Flagship configs use the Pallas attention kernels (attention_impl:
+    fused), which self-partition over the ambient mesh. The periodic viz
+    sampler runs main-process-only and the in-train eval host-locally —
+    inside the training `with mesh:` block. On a cross-process mesh those
+    calls must NOT shard_map over non-addressable devices
+    (parallel/mesh.host_local_mesh neutralizes the ambient mesh with a
+    size-1 one); without the guard this deadlocks or crashes a pod.
+    2 processes x 2 devices, generate block at step 2."""
+    import yaml
+
+    from test_cli_eval_demo import DATASET, TINY_MLM, TINY_VQ
+
+    nproc = 2
+    mlm = dict(TINY_MLM, attention_impl="fused")
+    cfg = {
+        "experiment": {"name": "mp_gen_fused", "max_train_examples": 64,
+                       "save_every": 100, "eval_every": 100, "generate_every": 2,
+                       "log_every": 1, "logger": "jsonl", "resume": True,
+                       "vqgan_checkpoint": ""},
+        "parallel": {"data": -1, "fsdp": 1, "tensor": 1},
+        "model": {"vq_model": TINY_VQ, "mlm_model": mlm},
+        "losses": {"mlm": {"label_smoothing": 0.1, "loss_weight_unmasked_token": 0.0}},
+        "dataset": DATASET,
+        "optimizer": {"name": "adamw", "params": {"learning_rate": 1e-3}},
+        "lr_scheduler": {"scheduler": "constant", "params": {}},
+        "training": {"gradient_accumulation_steps": 1, "per_device_batch_size": 2,
+                     "mixed_precision": "no", "use_ema": True, "seed": 0,
+                     "max_train_steps": 2, "overfit_batch": False,
+                     "num_generated_images": 2, "max_grad_norm": 1.0},
+    }
+    config_path = tmp_path / "cfg.yaml"
+    config_path.write_text(yaml.safe_dump(cfg))
+    workspace = tmp_path / "ws"
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    port = _free_port()
+    worker = os.path.join(REPO, "tests", "multiprocess_train_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), str(nproc), str(port),
+             str(workspace), str(config_path), "maskbit", "2"],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(nproc)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"fused-viz worker {pid} failed:\n{out[-6000:]}"
+
+    out_dir = workspace / "mp_gen_fused"
+    images = os.listdir(out_dir / "images")
+    assert any(p.startswith("train_generated") for p in images)
+    assert any(p.startswith("train_decoded") for p in images)
