@@ -104,7 +104,9 @@ def enable_compilation_cache(config: Config | None = None) -> None:
     experiment.compilation_cache_dir (or MASKBIT_COMPILE_CACHE_DIR)."""
     if jax.config.jax_compilation_cache_dir:
         return
-    enabled = os.environ.get("MASKBIT_COMPILE_CACHE", "1") != "0"
+    if os.environ.get("MASKBIT_COMPILE_CACHE") == "0":
+        return  # explicit env opt-out wins over any config value
+    enabled = True
     if config is not None:
         enabled = bool(config.select("experiment.compilation_cache", enabled))
     if not enabled:

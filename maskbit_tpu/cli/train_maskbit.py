@@ -303,10 +303,15 @@ def main(argv=None):
                 # (reference eval_generation semantics); the sampling is
                 # host-local, so keep the kernels off the cross-process mesh
                 eval_vars = {"params": host_accessible(_eval_params(state))}
+                # fold off a dedicated key: _eval_generation chains splits
+                # internally, and handing it rng_step itself would replay the
+                # train loop's future rng_step/sub draws (split-prefix
+                # property), correlating eval rng with later-step mask rng
+                eval_key = jax.random.fold_in(rng_step, 0x5EED)
                 with host_local_mesh():
                     results = _eval_generation(
                         config, sampler, eval_vars,
-                        tokenizer_vars, rng_step, logger,
+                        tokenizer_vars, eval_key, logger,
                     )
                 if results:
                     tracker.log({f"eval/{k}": v for k, v in results.items()}, global_step)

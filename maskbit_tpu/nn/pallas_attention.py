@@ -218,9 +218,10 @@ def hash_keep_mask_np(n_pad: int, rate: float, seed: int):
 def _group_keep_mask(seed_ref, shape, rate: float, group: int):
     """(group, n_pad, n_pad) keep-mask: each head-in-group gets its own
     seed row (static unrolled loop — `group` is a compile-time constant)."""
+    # group==1 never reaches here: both kernels early-return into their
+    # dedicated 2D path (which calls _dropout_mask directly) before this.
+    assert group > 1, "G=1 uses the plain-2D kernel path"
     base = pl.program_id(0) * group
-    if group == 1:
-        return _dropout_mask(shape[1:], rate, seed_ref[base, 0])[None]
     return jnp.stack(
         [_dropout_mask(shape[1:], rate, seed_ref[base + g, 0])
          for g in range(group)], axis=0)

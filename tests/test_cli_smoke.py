@@ -81,7 +81,7 @@ def test_train_maskbit_cli(tmp_path, monkeypatch):
 
     cfg = {
         "experiment": {"name": "smoke_gen", "max_train_examples": 64,
-                       "save_every": 100, "eval_every": 100, "generate_every": 3,
+                       "save_every": 100, "eval_every": 2, "generate_every": 3,
                        "log_every": 1, "logger": "jsonl", "resume": True,
                        "vqgan_checkpoint": ""},
         "model": {
@@ -476,6 +476,10 @@ def test_enable_compilation_cache_knobs(monkeypatch, tmp_path):
         jax.config.update("jax_compilation_cache_dir", None)
         monkeypatch.setenv("MASKBIT_COMPILE_CACHE", "0")
         enable_compilation_cache(None)
+        assert not jax.config.jax_compilation_cache_dir
+        # ... and it wins even over an explicit config enable (the
+        # documented debug knob for suspected stale-cache miscompiles)
+        enable_compilation_cache(Config({"experiment": {"compilation_cache": True}}))
         assert not jax.config.jax_compilation_cache_dir
     finally:
         jax.config.update("jax_compilation_cache_dir", before)
