@@ -146,6 +146,46 @@ class InceptionE(nn.Module):
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
+def resize_bilinear_tf1(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """TF1-exact legacy bilinear resize (align_corners=False, NO half-pixel
+    centers) on NHWC float input.
+
+    This is the convention the reference's FID front end uses — reference
+    metrics/inception.py:92-96 calls torch_fidelity's
+    `interpolate_bilinear_2d_like_tensorflow1x` — and what the OpenAI ADM
+    TF1 frozen graph applies internally (reference
+    utils/adm_eval_suite.py:96-116). Published FID protocols depend on it:
+    src = dst * (in/out) with no half-pixel offset, floor/floor+1 gather
+    clamped to the edge, lerp computed as `a + (b - a) * t`, width axis
+    first then height — exactly the torch-fidelity 'slow' kernel's order of
+    operations, so float results match it bit-for-bit at equal dtype. The
+    half-pixel-center convention (`jax.image.resize` / torch
+    `F.interpolate`) samples up to half a source pixel away near the
+    borders, which shifts FID by tenths — larger than the gaps between the
+    paper's own models (reference README.md:69-78).
+    """
+    b, in_h, in_w, c = x.shape
+    if (in_h, in_w) == (out_h, out_w):
+        return x  # scale=1 makes the TF1 kernel a bit-exact identity
+
+    def grid(in_size: int, out_size: int):
+        scale = np.float32(in_size / out_size)
+        src = np.arange(out_size, dtype=np.float32) * scale
+        lo = np.minimum(np.floor(src), in_size - 1).astype(np.int32)
+        hi = np.minimum(lo + 1, in_size - 1).astype(np.int32)
+        t = src - lo.astype(np.float32)
+        return jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(t, x.dtype)
+
+    lo_x, hi_x, t_x = grid(in_w, out_w)
+    lo_y, hi_y, t_y = grid(in_h, out_h)
+    left = jnp.take(x, lo_x, axis=2)
+    right = jnp.take(x, hi_x, axis=2)
+    x = left + (right - left) * t_x[None, None, :, None]
+    top = jnp.take(x, lo_y, axis=1)
+    bottom = jnp.take(x, hi_y, axis=1)
+    return top + (bottom - top) * t_y[None, :, None, None]
+
+
 class InceptionV3(nn.Module):
     """FID-variant InceptionV3. Input: float RGB in [0, 255], NHWC, any size.
 
@@ -156,9 +196,7 @@ class InceptionV3(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        b = x.shape[0]
-        x = jax.image.resize(x.astype(jnp.float32), (b, 299, 299, x.shape[3]),
-                             method="bilinear", antialias=False)
+        x = resize_bilinear_tf1(x.astype(jnp.float32), 299, 299)
         x = (x - 128.0) / 128.0
 
         x = BasicConv2d(32, (3, 3), strides=(2, 2), name="Conv2d_1a_3x3")(x)

@@ -168,6 +168,62 @@ class TorchFIDInception(torch.nn.Module):
         return pooled, logits_unbiased
 
 
+def numpy_tf1_resize(x, out_h, out_w):
+    """Independent numpy replica of the TF1 legacy bilinear kernel
+    (torch-fidelity interpolate_bilinear_2d_like_tensorflow1x 'slow' path):
+    src = dst*(in/out), no half-pixel offset, edge-clamped floor/floor+1
+    gather, lerp a+(b-a)*t, width axis first. NHWC float32."""
+    in_h, in_w = x.shape[1], x.shape[2]
+
+    def grid(in_size, out_size):
+        scale = np.float32(in_size / out_size)
+        src = np.arange(out_size, dtype=np.float32) * scale
+        lo = np.minimum(np.floor(src), in_size - 1).astype(np.int64)
+        hi = np.minimum(lo + 1, in_size - 1)
+        return lo, hi, (src - lo.astype(np.float32)).astype(x.dtype)
+
+    lo_x, hi_x, t_x = grid(in_w, out_w)
+    lo_y, hi_y, t_y = grid(in_h, out_h)
+    left, right = x[:, :, lo_x, :], x[:, :, hi_x, :]
+    x = left + (right - left) * t_x[None, None, :, None]
+    top, bottom = x[:, lo_y, :, :], x[:, hi_y, :, :]
+    return top + (bottom - top) * t_y[None, :, None, None]
+
+
+def test_tf1_resize_bitexact_vs_numpy_replica(rng):
+    """eval/inception.resize_bilinear_tf1 must match an independent numpy
+    replica of the TF1 kernel BIT-FOR-BIT (identical op order, f32).
+    Covers upsample (256->299, the FID case), downsample, and non-square."""
+    from maskbit_tpu.eval.inception import resize_bilinear_tf1
+
+    for in_hw, out_hw in [((256, 256), (299, 299)),
+                          ((512, 512), (299, 299)),
+                          ((300, 200), (299, 299)),
+                          ((17, 31), (29, 13))]:
+        x = rng.uniform(0, 255, size=(2, *in_hw, 3)).astype(np.float32)
+        got = np.asarray(resize_bilinear_tf1(jnp.asarray(x), *out_hw))
+        want = numpy_tf1_resize(x, *out_hw)
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(got, want, err_msg=f"{in_hw}->{out_hw}")
+
+
+def test_tf1_resize_identity_and_convention():
+    """Equal-size input passes through untouched, and the kernel follows the
+    TF1 convention (src = dst*scale, NOT half-pixel): the first output row
+    and column of an upsample must equal the first input row/col exactly,
+    and a 2x upsample of [a, b] starts exactly at a (half-pixel would blend)."""
+    from maskbit_tpu.eval.inception import resize_bilinear_tf1
+
+    x = np.arange(2 * 4 * 4 * 3, dtype=np.float32).reshape(2, 4, 4, 3)
+    same = resize_bilinear_tf1(jnp.asarray(x), 4, 4)
+    np.testing.assert_array_equal(np.asarray(same), x)
+
+    up = np.asarray(resize_bilinear_tf1(jnp.asarray(x), 8, 8))
+    np.testing.assert_array_equal(up[:, 0, 0, :], x[:, 0, 0, :])
+    # dst index 2 maps to src 2*(4/8)=1.0 exactly -> input row/col 1
+    np.testing.assert_array_equal(up[:, 2, 2, :], x[:, 1, 1, :])
+
+
 def test_inception_forward_parity(rng):
     torch.manual_seed(7)
     ref = TorchFIDInception()
@@ -182,17 +238,21 @@ def test_inception_forward_parity(rng):
         {k: v.detach().numpy() for k, v in ref.state_dict().items()}
     )
 
-    # feed the torch model the SAME preprocessed tensor the flax model builds
-    # internally (resize is identity at 299 input; scaling (x-128)/128)
-    raw = rng.uniform(0, 255, size=(2, 3, 299, 299)).astype(np.float32)
-    pre = (raw - 128.0) / 128.0
-    with torch.no_grad():
-        pooled_t, logits_t = ref(torch.from_numpy(pre))
+    # two input sizes: 299 (resize is a bit-exact identity) and 256 (the
+    # FID case — the in-model TF1 resize is actually exercised; the torch
+    # twin is fed the bit-identical numpy-TF1-resized tensor)
+    for size in (299, 256):
+        raw = rng.uniform(0, 255, size=(2, size, size, 3)).astype(np.float32)
+        pre = (numpy_tf1_resize(raw, 299, 299) - 128.0) / 128.0
+        with torch.no_grad():
+            pooled_t, logits_t = ref(torch.from_numpy(pre.transpose(0, 3, 1, 2)))
 
-    out = InceptionV3().apply(variables, jnp.asarray(raw.transpose(0, 2, 3, 1)))
-    np.testing.assert_allclose(
-        np.asarray(out["2048"]), pooled_t.numpy(), atol=1e-3, rtol=1e-2
-    )
-    np.testing.assert_allclose(
-        np.asarray(out["logits_unbiased"]), logits_t.numpy(), atol=1e-3, rtol=1e-2
-    )
+        out = InceptionV3().apply(variables, jnp.asarray(raw))
+        np.testing.assert_allclose(
+            np.asarray(out["2048"]), pooled_t.numpy(), atol=1e-3, rtol=1e-2,
+            err_msg=f"pool2048 @ {size}px",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["logits_unbiased"]), logits_t.numpy(),
+            atol=1e-3, rtol=1e-2, err_msg=f"logits @ {size}px",
+        )

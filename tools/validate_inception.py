@@ -24,6 +24,46 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
+def tf1_interpolate_torch(x, size):
+    """Resize NCHW like the reference front end: torch-fidelity's
+    `interpolate_bilinear_2d_like_tensorflow1x` (reference
+    metrics/inception.py:92-96). Prefer the real torch-fidelity function
+    when installed; otherwise use a local replica of its 'slow' kernel
+    (src = dst*(in/out), no half-pixel offset, a+(b-a)*t, width then
+    height). NEVER use F.interpolate(mode='bilinear') here — that is the
+    half-pixel convention and validating against it would green-light a
+    systematic FID offset (VERDICT r3 weak #2)."""
+    import torch
+
+    try:
+        from torch_fidelity.interpolate_compat_tensorflow import (
+            interpolate_bilinear_2d_like_tensorflow1x,
+        )
+
+        return interpolate_bilinear_2d_like_tensorflow1x(
+            x, size=size, align_corners=False
+        )
+    except ImportError:
+        pass
+    in_h, in_w = x.shape[2], x.shape[3]
+    out_h, out_w = size
+
+    def grid(in_size, out_size):
+        src = torch.arange(out_size, dtype=x.dtype) * torch.tensor(
+            in_size / out_size, dtype=x.dtype
+        )
+        lo = src.floor().clamp(max=in_size - 1).long()
+        hi = (lo + 1).clamp(max=in_size - 1)
+        return lo, hi, (src - lo.to(x.dtype))
+
+    lo_x, hi_x, t_x = grid(in_w, out_w)
+    lo_y, hi_y, t_y = grid(in_h, out_h)
+    left, right = x[:, :, :, lo_x], x[:, :, :, hi_x]
+    x = left + (right - left) * t_x[None, None, None, :]
+    top, bottom = x[:, :, lo_y, :], x[:, :, hi_y, :]
+    return top + (bottom - top) * t_y[None, None, :, None]
+
+
 def battery(rng, n: int, size: int):
     """Deterministic mixed battery: noise, gradients, flat patches (uint8)."""
     import numpy as np
@@ -51,7 +91,6 @@ def main() -> None:
 
     import numpy as np
     import torch
-    import torch.nn.functional as F
 
     import jax.numpy as jnp
     from maskbit_tpu.compat.torch_convert import load_torch_state_dict
@@ -77,8 +116,8 @@ def main() -> None:
         raw = battery(rng, 9, size)  # NHWC float [0,255]
         x = torch.from_numpy(raw.transpose(0, 3, 1, 2))
         if size != 299:
-            # pt-fid front end: bilinear resize, align_corners=False
-            x = F.interpolate(x, size=(299, 299), mode="bilinear", align_corners=False)
+            # reference front end: TF1-exact legacy bilinear (torch-fidelity)
+            x = tf1_interpolate_torch(x, size=(299, 299))
         with torch.no_grad():
             pooled_t, logits_t = twin((x - 128.0) / 128.0)
 
