@@ -131,6 +131,7 @@ def sample_tokens(
     labels: jnp.ndarray,
     cfg: SamplingConfig,
     return_history=False,
+    injected: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Run the iterative unmasking loop; returns final (b, n, m) tokens.
 
@@ -143,6 +144,11 @@ def sample_tokens(
         return_history: True -> also return the (steps, b, n, m) predicted
             tokens (reference `l_full_tokens`); "full" -> return
             (predicted, post-re-mask) pairs per step.
+        injected: optional (token_draws, gumbel_draws), each
+            (num_steps, b, n, m) — replaces the in-loop categorical draw and
+            Gumbel noise so the REAL scan can be driven with shared
+            randomness for end-to-end parity tests against the reference
+            sampler (tests/test_e2e_parity_chain.py).
     """
     num_samples = labels.shape[0]
     spatial_size = cfg.patch_size**2
@@ -153,7 +159,11 @@ def sample_tokens(
     )
     use_cfg = cfg.guidance_scale != 0.0
 
-    def step_fn(carry, step):
+    def step_fn(carry, xs):
+        if injected is None:
+            step = xs
+        else:
+            step, injected_tokens, injected_gumbel = xs
         masked_tokens, _, key = carry
         key, key_cat, key_gumbel = jax.random.split(key, 3)
         progress = (step.astype(jnp.float32) + 1.0) / cfg.num_steps
@@ -180,9 +190,13 @@ def sample_tokens(
             softmax_temperature = cfg.softmax_temperature
 
         scaled_logits = logits.astype(jnp.float32) / softmax_temperature
-        sampled = jax.random.categorical(key_cat, scaled_logits, axis=-1).astype(jnp.int32)
+        if injected is None:
+            sampled = jax.random.categorical(key_cat, scaled_logits, axis=-1).astype(jnp.int32)
+            gumbel_noise = jax.random.gumbel(key_gumbel, sampled.shape)
+        else:
+            sampled = injected_tokens
+            gumbel_noise = injected_gumbel
         probabilities = jax.nn.softmax(scaled_logits, axis=-1)
-        gumbel_noise = jax.random.gumbel(key_gumbel, sampled.shape)
 
         predicted_tokens, new_masked = confidence_remask(
             cfg, step, mask, masked_tokens, sampled, probabilities, gumbel_noise
@@ -196,8 +210,14 @@ def sample_tokens(
             out = None
         return (new_masked, predicted_tokens, key), out
 
+    steps = jnp.arange(cfg.num_steps)
+    if injected is None:
+        xs = steps
+    else:
+        xs = (steps, jnp.asarray(injected[0], jnp.int32),
+              jnp.asarray(injected[1], jnp.float32))
     (_, final_predicted, _), history = jax.lax.scan(
-        step_fn, (init_tokens, init_tokens, key), jnp.arange(cfg.num_steps)
+        step_fn, (init_tokens, init_tokens, key), xs
     )
     # the reference returns the final step's predicted tokens *before*
     # the last re-masking is applied (sampling.py:131-133)
