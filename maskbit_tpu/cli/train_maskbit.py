@@ -299,9 +299,11 @@ def main(argv=None):
                     host_local_mesh,
                 )
 
-                # every host redundantly evaluates the same samples
-                # (reference eval_generation semantics); the sampling is
-                # host-local, so keep the kernels off the cross-process mesh
+                # each host samples its 1/N share of the batches (the
+                # reference's eval_generation, train_maskbit.py:556-600, is
+                # per-rank redundant — every rank scores the same images);
+                # the sampling itself is host-local, so keep the kernels off
+                # the cross-process mesh, then merge the f64 moments
                 eval_vars = {"params": host_accessible(_eval_params(state))}
                 # fold off a dedicated key: _eval_generation chains splits
                 # internally, and handing it rng_step itself would replay the
@@ -309,10 +311,17 @@ def main(argv=None):
                 # property), correlating eval rng with later-step mask rng
                 eval_key = jax.random.fold_in(rng_step, 0x5EED)
                 with host_local_mesh():
-                    results = _eval_generation(
+                    gen_evaluator = _eval_generation(
                         config, sampler, eval_vars,
                         tokenizer_vars, eval_key, logger,
                     )
+                results = {}
+                if gen_evaluator is not None:
+                    # collective (all hosts reach here iff inception weights
+                    # exist, an env/config fact shared by the pod); runs
+                    # OUTSIDE the host-local mesh context
+                    gen_evaluator.merge_across_hosts()
+                    results = gen_evaluator.result()
                 if results:
                     tracker.log({f"eval/{k}": v for k, v in results.items()}, global_step)
                     logger.info(f"eval @ {global_step}: {results}")
@@ -353,7 +362,14 @@ def _eval_generation(config, sampler, gen_vars, tok_vars, rng, logger,
                      num_samples: int = 2000, batch_size: int = 50):
     """In-training generation eval (reference eval_generation :556-600):
     IS (+ FID vs eval.stats_path) over a few thousand EMA samples.
-    Skipped unless MASKBIT_INCEPTION_WEIGHTS is available."""
+    Skipped (returns None) unless MASKBIT_INCEPTION_WEIGHTS is available.
+
+    Sharded across hosts: the rng chain advances identically on every host
+    but host h only samples batches with i % nproc == h, so a pod scores
+    the SAME global sample set as a single host at 1/N the work (the
+    reference is per-rank redundant here). Returns the per-host evaluator;
+    the caller must run `merge_across_hosts()` (a collective) on every host
+    before reading `result()`."""
     from maskbit_tpu.cli.eval_tokenizer import make_inception_fn
     from maskbit_tpu.eval.fid import load_stats_npz
     from maskbit_tpu.eval.streaming import GeneratorEvaluator
@@ -362,19 +378,22 @@ def _eval_generation(config, sampler, gen_vars, tok_vars, rng, logger,
     if inception_fn is None:
         logger.info("in-training generation eval skipped (no inception weights); "
                     "run cli.eval_maskbit for the full 50k ADM gFID")
-        return {}
+        return None
     stats_path = config.select("eval.stats_path", "")
     real_mu = real_sigma = None
     if stats_path and os.path.exists(stats_path):
         real_mu, real_sigma = load_stats_npz(stats_path)
     evaluator = GeneratorEvaluator(inception_fn, real_mu, real_sigma)
     key = rng
+    nproc, pid = jax.process_count(), jax.process_index()
     for i in range(num_samples // batch_size):
         key, sub_labels, sub = jax.random.split(key, 3)
+        if i % nproc != pid:
+            continue  # another host's share; the key chain stays aligned
         labels = jax.random.randint(sub_labels, (batch_size,), 0, 1000)
         images, _ = sampler(gen_vars, tok_vars, sub, labels)
         evaluator.update(jnp.clip(images, 0.0, 1.0))
-    return evaluator.result()
+    return evaluator
 
 
 def _save(ckpt, state, output_dir, step, logger):

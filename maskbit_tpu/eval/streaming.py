@@ -347,6 +347,28 @@ class GeneratorEvaluator:
         self._fake_total += other._fake_total
         self._fake_sigma += other._fake_sigma
 
+    def merge_across_hosts(self) -> None:
+        """Sum the accumulators over all JAX processes (no-op single-host).
+
+        COLLECTIVE: every process must call it at the same point with the
+        same enable flags (they come from config, so they agree). Transport
+        is the bit-exact f64 allgather — see TokenizerEvaluator's note."""
+        if jax.process_count() == 1:
+            return
+        from maskbit_tpu.parallel.mesh import process_allgather_f64
+
+        def total(x):
+            out = process_allgather_f64(x).sum(axis=0)
+            return out[0] if np.ndim(np.asarray(x)) == 0 else out
+
+        self._num_examples = int(total(self._num_examples))
+        if self._enable_inception_score:
+            self._is_prob_total = total(self._is_prob_total)
+            self._is_total_kl_d = total(self._is_total_kl_d)
+        if self._enable_fid:
+            self._fake_total = total(self._fake_total)
+            self._fake_sigma = total(self._fake_sigma)
+
     def result(self) -> Mapping[str, float]:
         if self._num_examples < 1:
             raise ValueError("No examples to evaluate.")

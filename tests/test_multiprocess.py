@@ -770,3 +770,44 @@ def test_train_maskbit_cli_fused_attention_host_local_viz(tmp_path):
     images = os.listdir(out_dir / "images")
     assert any(p.startswith("train_generated") for p in images)
     assert any(p.startswith("train_decoded") for p in images)
+
+
+def test_in_train_generation_eval_shards_across_hosts(tmp_path):
+    """VERDICT r3 #5: _eval_generation under 2-process jax.distributed —
+    each host samples exactly 1/N of the batches (counted via a stub
+    sampler), the merged moments give IDENTICAL results on every host, and
+    those results equal a single-host run over ALL batches."""
+    import numpy as np
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    port = _free_port()
+    worker = os.path.join(REPO, "tests", "multiprocess_gen_eval_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), str(NPROC), str(port), str(tmp_path)],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(NPROC)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"gen eval worker {pid} failed:\n{out[-6000:]}"
+
+    results = []
+    for pid in range(NPROC):
+        with open(tmp_path / f"gen_eval_result_{pid}.json") as f:
+            results.append(json.load(f))
+    # 8 samples / batch 2 = 4 batches over 2 hosts -> 2 each (1/N the work)
+    for r in results:
+        assert r["local_batches"] == 4 // NPROC, r
+    # merged moments are global: identical across hosts
+    assert results[0]["results"] == results[1]["results"]
+    # and equal to the unsharded single-host run (accumulation order differs
+    # between per-host partial sums and the full-sequence sum -> fp-tiny tol)
+    merged, single = results[0]["results"], results[0]["expected"]
+    assert set(merged) == set(single) == {"InceptionScore", "FID"}
+    for k in merged:
+        np.testing.assert_allclose(merged[k], single[k], rtol=1e-9, err_msg=k)
