@@ -220,7 +220,9 @@ def _group_keep_mask(seed_ref, shape, rate: float, group: int):
     seed row (static unrolled loop — `group` is a compile-time constant)."""
     # group==1 never reaches here: both kernels early-return into their
     # dedicated 2D path (which calls _dropout_mask directly) before this.
-    assert group > 1, "G=1 uses the plain-2D kernel path"
+    # ValueError (not assert) so the guard survives `python -O` (ADVICE r3).
+    if group <= 1:
+        raise ValueError("G=1 uses the plain-2D kernel path")
     base = pl.program_id(0) * group
     return jnp.stack(
         [_dropout_mask(shape[1:], rate, seed_ref[base + g, 0])
