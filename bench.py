@@ -92,6 +92,14 @@ ATTEMPTS = 3
 ATTEMPT_TIMEOUT_S = int(os.environ.get("MASKBIT_BENCH_TIMEOUT", 20 * 60))
 
 
+def _child_argv():
+    """The measure-attempt subprocess command (separate fn for tests: the
+    hang-retry plumbing is exercised with a scripted child)."""
+    import sys
+
+    return [sys.executable, os.path.abspath(__file__), "--child"]
+
+
 def main():
     # Two relay failure modes (both observed on this VM, CLAUDE.md notes):
     # the remote-compile helper 500s transiently — an exception — and the
@@ -105,7 +113,7 @@ def main():
     for attempt in range(ATTEMPTS):
         try:
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child"],
+                _child_argv(),
                 timeout=ATTEMPT_TIMEOUT_S,
             )
             if proc.returncode == 0:
