@@ -131,8 +131,11 @@ def main(argv=None):
         y_np[:valid] = chunk  # pad rows sample class 0; discarded below
         images, _ = sampler(gen_vars, tok_vars, sub, jnp.asarray(y_np))
         # stay on device: images -> [0,255] -> inception features, only the
-        # (b, 2048)/(b, 1008) features cross to host
-        images_255 = jnp.clip(images, 0.0, 1.0) * 255.0
+        # (b, 2048)/(b, 1008) features cross to host. floor() replicates the
+        # reference's uint8 truncation (scripts/eval_maskbit.py:133-137
+        # stores `.to(torch.uint8)` samples before scoring) — the gFID
+        # protocol is defined on truncated uint8 pixels
+        images_255 = jnp.floor(jnp.clip(images, 0.0, 1.0) * 255.0)
         if accum is not None:
             feats = inception_fn(images_255)
             # global sample index of host p's local sample j is j*p_cnt + p

@@ -112,6 +112,43 @@ def test_eval_maskbit_cli_with_metrics(tmp_path, monkeypatch):
     assert np.isfinite(results["InceptionScore"]) and results["InceptionScore"] >= 1.0
 
 
+def test_eval_maskbit_feeds_truncated_uint8_pixels(tmp_path, monkeypatch):
+    """The gFID protocol scores TRUNCATED uint8 pixels (reference
+    scripts/eval_maskbit.py:133-137 stores `.to(torch.uint8)` samples before
+    the ADM suite): every value reaching the inception fn must be integral
+    in [0, 255], not the raw float image * 255."""
+    import jax.numpy as jnp
+
+    import maskbit_tpu.cli.eval_maskbit as em
+
+    seen = []
+
+    def stub_inception_fn():
+        def fn(images_255):
+            seen.append(np.asarray(images_255))
+            pooled = jnp.mean(images_255 / 255.0, axis=(1, 2))
+            feats = jnp.tile(pooled, (1, 683))[:, :2048]
+            return {"2048": feats, "logits_unbiased": feats[:, :1008]}
+        return fn
+
+    monkeypatch.setattr(em, "make_inception_fn", stub_inception_fn)
+    monkeypatch.setenv("WORKSPACE", str(tmp_path / "ws"))
+    cfg = _cfg(tmp_path, "eval_gen_u8", {
+        "model.mlm_model": TINY_MLM,
+        "eval.total_samples": 2,
+        "eval.batch_size": 2,
+        "experiment.generator_checkpoint": "",
+    })
+    em.main([f"config={cfg}"])
+    assert seen, "inception fn never called"
+    for batch in seen:
+        assert batch.min() >= 0 and batch.max() <= 255
+        np.testing.assert_array_equal(batch, np.floor(batch),
+                                      err_msg="pixels not uint8-truncated")
+    # and the images are non-degenerate (not all one value)
+    assert len(np.unique(seen[0])) > 1
+
+
 def test_eval_maskbit_cli_exact_n_padding(tmp_path, monkeypatch):
     """eval.total_samples NOT divisible by batch_size: the final batch is
     padded to the compiled batch and the pad rows trimmed before the
