@@ -390,38 +390,42 @@ def _pick_group(bh: int, n_pad: int) -> int:
     program amortizes it — the same schedule insight as the inference
     fused block's head groups. Long sequences keep G=1: their (n, n) f32
     temporaries already fill VMEM. Auto rule: largest G <= 8 dividing b*h
-    whose ~5 f32 (G, n_pad, n_pad) bwd temporaries stay under ~16 MB.
-    Override with MASKBIT_DROPATTN_GROUP=<int> for measurements.
-
-    Auto currently returns 1 — grouping is implemented and correct (tests
-    force G via the env var) but not yet measured faster on hardware; the
-    G=1 schedule is the one behind every number in BENCHMARKS.md."""
+    whose ~5 f32 (G, n_pad, n_pad) bwd temporaries stay under ~16 MB (the
+    default VMEM scope). Hardware-measured round 4 (flagship Stage-II
+    train step, BENCHMARKS.md "Round 4"): seq 257/b32 G=1/2/4/8 ->
+    171.5/178.9/181.1/181.8 img/s (auto picks 8, +6.0%); seq 1025/b16
+    no-remat G=1 vs G=2 both 36.9 img/s (identical — per-program overhead
+    is negligible against the big per-head matmuls there), so the 16 MB
+    bound's G=1 choice costs nothing. Override with
+    MASKBIT_DROPATTN_GROUP=<int> for measurements."""
     import os
 
     env = os.environ.get("MASKBIT_DROPATTN_GROUP", "auto")
-    if env != "auto":
-        try:
-            g = int(env)
-        except ValueError:
-            _logger.warning("MASKBIT_DROPATTN_GROUP=%r is not an integer — "
-                            "using the auto schedule", env)
-            return 1
-        if g <= 0 or bh % g:
-            if g != 1:
-                _logger.warning("MASKBIT_DROPATTN_GROUP=%d does not divide "
-                                "b*h=%d — using G=1", g, bh)
-            return 1
-        # the bwd kernel's ~5 f32 (G, n_pad, n_pad) temporaries must fit the
-        # raised 100 MB VMEM scope; clamp to the largest fitting divisor
-        max_g = max(1, (96 * 1024 * 1024) // (n_pad * n_pad * 4 * 5))
-        if g > max_g:
-            while max_g > 1 and bh % max_g:
-                max_g -= 1
-            _logger.warning("MASKBIT_DROPATTN_GROUP=%d exceeds the VMEM "
-                            "bound at n_pad=%d — clamping to %d", g, n_pad, max_g)
-            return max_g
-        return g
-    return 1
+    if env == "auto":
+        return max((c for c in range(1, 9)
+                    if bh % c == 0 and c * n_pad * n_pad * 4 * 5 <= 16_000_000),
+                   default=1)
+    try:
+        g = int(env)
+    except ValueError:
+        _logger.warning("MASKBIT_DROPATTN_GROUP=%r is not an integer — "
+                        "using the auto schedule", env)
+        return 1
+    if g <= 0 or bh % g:
+        if g != 1:
+            _logger.warning("MASKBIT_DROPATTN_GROUP=%d does not divide "
+                            "b*h=%d — using G=1", g, bh)
+        return 1
+    # the bwd kernel's ~5 f32 (G, n_pad, n_pad) temporaries must fit the
+    # raised 100 MB VMEM scope; clamp to the largest fitting divisor
+    max_g = max(1, (96 * 1024 * 1024) // (n_pad * n_pad * 4 * 5))
+    if g > max_g:
+        while max_g > 1 and bh % max_g:
+            max_g -= 1
+        _logger.warning("MASKBIT_DROPATTN_GROUP=%d exceeds the VMEM "
+                        "bound at n_pad=%d — clamping to %d", g, n_pad, max_g)
+        return max_g
+    return g
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))

@@ -358,7 +358,13 @@ def test_dropattn_group_override_validation(monkeypatch, caplog):
     assert any("does not divide" in m for m in messages)
     assert any("clamping" in m for m in messages)
     monkeypatch.setenv("MASKBIT_DROPATTN_GROUP", "auto")
-    assert _pick_group(64, 272) == 1  # auto stays G=1 until measured faster
+    # auto (round-4 hardware sweep, BENCHMARKS.md "Round 4"): short seq
+    # groups up to 8 under the 16 MB default-VMEM bound; long seq stays G=1
+    assert _pick_group(64, 272) == 8   # 8*272^2*20 = 11.8 MB <= 16 MB
+    assert _pick_group(64, 1040) == 1  # 1*1040^2*20 = 21.6 MB > 16 MB
+    assert _pick_group(6, 272) == 6    # largest divisor of b*h within bound
+    monkeypatch.delenv("MASKBIT_DROPATTN_GROUP")
+    assert _pick_group(64, 272) == 8   # unset env defaults to auto
 
 
 def test_fused_attention_block_512px_seq(rng):

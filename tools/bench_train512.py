@@ -29,7 +29,9 @@ def main() -> None:
     from profile_dropout_attention import stage_two_step
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
-    dt = stage_two_step(RES, BATCH, "fused")
+    # remat=False: the in-kernel-dropout attention makes no-remat fit at
+    # 512/b16 — the round-3 record configuration (BENCHMARKS.md, 36.6 img/s)
+    dt = stage_two_step(RES, BATCH, "fused", remat=False)
     img_s = BATCH / dt
     prev = None
     if os.path.exists(OUT_FILE):
