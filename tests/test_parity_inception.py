@@ -224,6 +224,40 @@ def test_tf1_resize_identity_and_convention():
     np.testing.assert_array_equal(up[:, 2, 2, :], x[:, 1, 1, :])
 
 
+def test_validate_tool_torch_twin_is_tf1(rng):
+    """tools/validate_inception.py's torch-side resize (used as the parity
+    twin when real weights arrive) must itself be the TF1 kernel — round 3
+    shipped a half-pixel F.interpolate twin that would have green-lit the
+    very mismatch the tool exists to catch. Pin the local replica to the
+    numpy TF1 reference and to our JAX kernel, and pin that it does NOT
+    match torch's half-pixel bilinear."""
+    import importlib.util
+    import os
+
+    from maskbit_tpu.eval.inception import resize_bilinear_tf1
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "validate_inception_tool", os.path.join(repo, "tools", "validate_inception.py"))
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    x = rng.uniform(0, 255, size=(2, 256, 256, 3)).astype(np.float32)
+    t_out = tool.tf1_interpolate_torch(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), size=(299, 299)
+    ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(t_out, numpy_tf1_resize(x, 299, 299),
+                               atol=1e-4, rtol=1e-6)
+    np.testing.assert_allclose(
+        t_out, np.asarray(resize_bilinear_tf1(jnp.asarray(x), 299, 299)),
+        atol=1e-4, rtol=1e-6)
+    half_pixel = F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                               size=(299, 299), mode="bilinear",
+                               align_corners=False).numpy().transpose(0, 2, 3, 1)
+    assert np.abs(t_out - half_pixel).max() > 1.0, (
+        "TF1 and half-pixel resizes agree?! the convention test is vacuous")
+
+
 def test_inception_forward_parity(rng):
     torch.manual_seed(7)
     ref = TorchFIDInception()
