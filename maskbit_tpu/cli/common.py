@@ -18,7 +18,12 @@ import numpy as np
 
 from maskbit_tpu.core.config import Config
 from maskbit_tpu.data.tar_reader import SimpleImagenet, expand_shard_pattern
-from maskbit_tpu.parallel.mesh import MeshConfig, create_mesh, is_main_process
+from maskbit_tpu.parallel.mesh import (
+    MeshConfig,
+    create_mesh,
+    is_main_process,
+    warmup_collective_rendezvous,
+)
 from maskbit_tpu.utils.logger import setup_logger
 from maskbit_tpu.utils.tracker import create_tracker
 
@@ -152,6 +157,7 @@ def setup_experiment(config: Config, subdir: str = ""):
         tracker = create_tracker("none", output_dir)
 
     mesh = create_mesh(MeshConfig.from_config(config))
+    warmup_collective_rendezvous(mesh)
     seed = int(config.select("training.seed", 42))
     return dict(
         output_dir=output_dir, logger=logger, tracker=tracker, mesh=mesh, seed=seed

@@ -307,3 +307,52 @@ def barrier(name: str = "barrier") -> None:
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices(name)
+
+
+def warmup_collective_rendezvous(mesh: Optional[Mesh] = None) -> None:
+    """Form the Gloo device cliques while processes are still in lockstep.
+
+    XLA's CPU collectives (Gloo) lazily create one context per participating
+    device clique, each through a key-value rendezvous with a HARD-CODED 30 s
+    window; a miss is fatal (`Gloo context initialization failed:
+    DEADLINE_EXCEEDED: GetKeyValue() timed out`). The first collective of a
+    compiled program runs the moment each process finishes compiling it, and
+    on a loaded host the compile-time skew between processes can exceed the
+    window. Running tiny collectives over every clique the later programs
+    will use — the process-leader columns (the `process_allgather` /
+    `sync_global_devices` route) and every mesh-axis subset (the GSPMD
+    psum/all-gather groups inside jit'd steps) — right after
+    `jax.distributed.initialize`, while the only skew is import time, creates
+    the contexts once; the real programs then reuse them with no rendezvous.
+
+    No-op single-process or off-CPU (TPU collectives ride ICI and rendezvous
+    through the coordination service with generous timeouts).
+    """
+    if jax.process_count() <= 1 or jax.default_backend() != "cpu":
+        return
+    from itertools import combinations
+
+    from jax.experimental import multihost_utils
+
+    multihost_utils.process_allgather(np.zeros((1,), np.float32))
+
+    if mesh is None:
+        mesh = Mesh(np.asarray(jax.devices()), ("all",))
+    axes = mesh.axis_names
+    subsets = [
+        s for r in range(1, len(axes) + 1) for s in combinations(axes, r)
+    ]
+    # one row per device, sharded over every mesh axis jointly; replicating
+    # the output over subset S makes XLA all-gather across exactly S's cliques
+    out_shardings = [
+        NamedSharding(mesh, P(tuple(a for a in axes if a not in s)))
+        for s in subsets
+    ]
+    rows = np.zeros((len(jax.local_devices()), 1), np.float32)
+    arr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(axes)), rows
+    )
+    fanout = jax.jit(
+        lambda a: [a + 0.0 for _ in out_shardings], out_shardings=out_shardings
+    )
+    jax.block_until_ready(fanout(arr))

@@ -38,6 +38,10 @@ def main() -> None:
     from maskbit_tpu.core.config import Config
     from maskbit_tpu.eval.fid import load_stats_npz
     from maskbit_tpu.eval.streaming import GeneratorEvaluator
+    from maskbit_tpu.parallel.mesh import warmup_collective_rendezvous
+
+    # form the Gloo cliques while skew is import-bounded (30 s hard window)
+    warmup_collective_rendezvous()
 
     # deterministic stub inception: drives the full IS + FID moment path
     proj = np.asarray(np.random.default_rng(0).normal(size=(3, 2048)), np.float32)

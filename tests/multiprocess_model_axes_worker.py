@@ -55,6 +55,7 @@ def main() -> None:
         create_mesh,
         global_batch_array,
         shard_train_state,
+        warmup_collective_rendezvous,
     )
     from maskbit_tpu.train.generator_trainer import (
         init_generator_train_state,
@@ -65,6 +66,8 @@ def main() -> None:
 
     mesh = create_mesh(MeshConfig(data=-1, fsdp=2, tensor=2))
     assert dict(mesh.shape) == {"data": (2 * nproc) // 4, "fsdp": 2, "tensor": 2}
+    # form the Gloo cliques while skew is import-bounded (30 s hard window)
+    warmup_collective_rendezvous(mesh)
     # the fsdp x tensor plane is wider than any process's 2 local devices ->
     # model-axis collectives must cross processes
     local_ids = {d.id for d in jax.local_devices()}

@@ -54,6 +54,7 @@ def main() -> None:
         create_mesh,
         global_batch_array,
         replicated,
+        warmup_collective_rendezvous,
     )
 
     results = {"pid": pid, "nproc": nproc}
@@ -64,6 +65,8 @@ def main() -> None:
 
     mesh = create_mesh(MeshConfig())  # (2*nproc, 1, 1)
     assert mesh.devices.size == 2 * nproc
+    # form the Gloo cliques while skew is import-bounded (30 s hard window)
+    warmup_collective_rendezvous(mesh)
 
     # --- deterministic global batch; every process holds the full copy, the
     # distributed path feeds only its contiguous per-host slice ---------------

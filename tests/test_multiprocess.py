@@ -34,6 +34,60 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+# XLA's Gloo CPU collectives create each device-clique context through a
+# key-value rendezvous with a HARD-CODED 30 s window; this is the fatal
+# signature a worker prints when compile-time skew between workers misses it.
+GLOO_FLAKE = "Gloo context initialization failed"
+
+
+def run_workers(worker, nproc, tail_args, *, timeout=900, label="worker",
+                reset=None):
+    """Spawn `nproc` copies of `worker` (argv: pid nproc port *tail_args),
+    wait, and assert every one exits 0. Returns the combined outputs.
+
+    The workers warm up their Gloo cliques right after init
+    (`parallel.mesh.warmup_collective_rendezvous`), but on this 1-vCPU box a
+    thrashed scheduler can still skew worker startup past the hard 30 s
+    rendezvous window. That is an environment flake, not a code failure, so
+    ONE retry (fresh port, `reset()`-wiped outputs) is allowed for that exact
+    signature; everything else fails immediately.
+    """
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    env.pop("WORKSPACE", None)
+    procs, outs = [], []
+    for attempt in range(2):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(pid), str(nproc), str(port),
+                 *[str(a) for a in tail_args]],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+            for pid in range(nproc)
+        ]
+        try:
+            outs = [p.communicate(timeout=timeout)[0] for p in procs]
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        if all(p.returncode == 0 for p in procs):
+            return outs
+        if attempt == 0 and any(GLOO_FLAKE in o for o in outs):
+            print(f"{label}: missed the 30s Gloo rendezvous window; "
+                  "retrying once with fresh outputs", flush=True)
+            if reset is not None:
+                reset()
+            continue
+        break
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"{label} {pid} failed:\n{out[-6000:]}"
+    return outs
+
+
 @pytest.fixture(scope="module")
 def mp_results(tmp_path_factory):
     outdir = tmp_path_factory.mktemp("mp")
@@ -43,30 +97,40 @@ def mp_results(tmp_path_factory):
         with tarfile.open(shard_dir / f"shard-{i:03d}.tar", "w"):
             pass
 
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     # workers set their own XLA_FLAGS/JAX_PLATFORMS before importing jax
-    env.pop("XLA_FLAGS", None)
-    port = _free_port()
-    procs = [
-        subprocess.Popen(
-            [sys.executable, WORKER, str(pid), str(NPROC), str(port), str(outdir)],
-            env=env, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for pid in range(NPROC)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outs.append(out)
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+    run_workers(WORKER, NPROC, [outdir], timeout=600, label="worker")
     results = []
     for pid in range(NPROC):
         with open(outdir / f"result_{pid}.json") as f:
             results.append(json.load(f))
     return results
+
+
+def test_run_workers_retries_gloo_flake_once(tmp_path):
+    """The harness retry is for XLA's hard-coded 30 s Gloo rendezvous window
+    ONLY: a worker that misses it gets one fresh attempt (with `reset` run
+    in between); any other failure is fatal immediately."""
+    flaky = tmp_path / "flaky_worker.py"
+    flaky.write_text(
+        "import os, sys\n"
+        "marker = os.path.join(sys.argv[4], f'tried_{sys.argv[1]}')\n"
+        "if not os.path.exists(marker):\n"
+        "    open(marker, 'w').close()\n"
+        "    sys.stderr.write('Gloo context initialization failed: "
+        "DEADLINE_EXCEEDED: GetKeyValue() timed out\\n')\n"
+        "    sys.exit(1)\n"
+        "print('second attempt ok')\n"
+    )
+    resets = []
+    outs = run_workers(str(flaky), 2, [tmp_path], timeout=60,
+                       label="flaky", reset=lambda: resets.append(1))
+    assert resets == [1]
+    assert all("second attempt ok" in o for o in outs)
+
+    hard = tmp_path / "hard_worker.py"
+    hard.write_text("import sys; sys.exit(3)\n")
+    with pytest.raises(AssertionError, match="hard 0 failed"):
+        run_workers(str(hard), 2, [tmp_path], timeout=60, label="hard")
 
 
 def test_workers_pass_internal_asserts(mp_results):
@@ -154,23 +218,11 @@ def test_train_cli_two_processes(tmp_path):
     config_path.write_text(yaml.safe_dump(cfg))
     workspace = tmp_path / "ws"
 
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env.pop("XLA_FLAGS", None)
-    port = _free_port()
+    import shutil
+
     worker = os.path.join(REPO, "tests", "multiprocess_train_worker.py")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(pid), str(NPROC), str(port),
-             str(workspace), str(config_path)],
-            env=env, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for pid in range(NPROC)
-    ]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"train worker {pid} failed:\n{out[-6000:]}"
+    run_workers(worker, NPROC, [workspace, config_path], label="train worker",
+                reset=lambda: shutil.rmtree(workspace, ignore_errors=True))
 
     results = []
     for pid in range(NPROC):
@@ -352,23 +404,12 @@ def test_train_cli_model_axes_across_processes(tmp_path):
     config_path.write_text(yaml.safe_dump(cfg))
     workspace = tmp_path / "ws"
 
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env.pop("XLA_FLAGS", None)
-    port = _free_port()
+    import shutil
+
     worker = os.path.join(REPO, "tests", "multiprocess_train_worker.py")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(pid), str(nproc), str(port),
-             str(workspace), str(config_path), "tokenizer", "2"],
-            env=env, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for pid in range(nproc)
-    ]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"axes train worker {pid} failed:\n{out[-6000:]}"
+    run_workers(worker, nproc, [workspace, config_path, "tokenizer", "2"],
+                label="axes train worker",
+                reset=lambda: shutil.rmtree(workspace, ignore_errors=True))
 
     results = []
     for pid in range(nproc):
@@ -420,23 +461,12 @@ def test_train_maskbit_cli_model_axes_across_processes(tmp_path):
     config_path.write_text(yaml.safe_dump(cfg))
     workspace = tmp_path / "ws"
 
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env.pop("XLA_FLAGS", None)
-    port = _free_port()
+    import shutil
+
     worker = os.path.join(REPO, "tests", "multiprocess_train_worker.py")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(pid), str(nproc), str(port),
-             str(workspace), str(config_path), "maskbit", "2"],
-            env=env, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for pid in range(nproc)
-    ]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"axes maskbit worker {pid} failed:\n{out[-6000:]}"
+    run_workers(worker, nproc, [workspace, config_path, "maskbit", "2"],
+                label="axes maskbit worker",
+                reset=lambda: shutil.rmtree(workspace, ignore_errors=True))
 
     results = []
     for pid in range(nproc):
@@ -482,23 +512,11 @@ def test_eval_cli_two_processes(tmp_path):
     config_path.write_text(yaml.safe_dump(tree))
     workspace = tmp_path / "ws"
 
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env.pop("XLA_FLAGS", None)
-    port = _free_port()
+    import shutil
+
     worker = os.path.join(REPO, "tests", "multiprocess_eval_worker.py")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(pid), str(NPROC), str(port),
-             str(workspace), str(config_path)],
-            env=env, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for pid in range(NPROC)
-    ]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"eval worker {pid} failed:\n{out[-6000:]}"
+    run_workers(worker, NPROC, [workspace, config_path], label="eval worker",
+                reset=lambda: shutil.rmtree(workspace, ignore_errors=True))
 
     results = []
     for pid in range(NPROC):
@@ -518,22 +536,8 @@ def test_train_step_model_axes_across_processes(tmp_path):
     Stage-II step's loss and updated params — and the Stage-I GAN step's
     loss — match the single-process full-batch results (VERDICT r2 weak #5)."""
     nproc = 4
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env.pop("XLA_FLAGS", None)
-    port = _free_port()
     worker = os.path.join(REPO, "tests", "multiprocess_model_axes_worker.py")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(pid), str(nproc), str(port), str(tmp_path)],
-            env=env, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for pid in range(nproc)
-    ]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"model-axes worker {pid} failed:\n{out[-6000:]}"
+    run_workers(worker, nproc, [tmp_path], label="model-axes worker")
 
     results = []
     for pid in range(nproc):
@@ -579,23 +583,11 @@ def test_eval_cli_three_processes_remainder(tmp_path):
     config_path.write_text(yaml.safe_dump(tree))
     workspace = tmp_path / "ws"
 
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env.pop("XLA_FLAGS", None)
-    port = _free_port()
+    import shutil
+
     worker = os.path.join(REPO, "tests", "multiprocess_eval_worker.py")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(pid), str(nproc), str(port),
-             str(workspace), str(config_path)],
-            env=env, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for pid in range(nproc)
-    ]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"eval worker {pid} failed:\n{out[-6000:]}"
+    run_workers(worker, nproc, [workspace, config_path], label="eval worker",
+                reset=lambda: shutil.rmtree(workspace, ignore_errors=True))
 
     import numpy as _np
 
@@ -679,24 +671,13 @@ def test_eval_tokenizer_cli_two_processes(tmp_path):
     truth = dict(eval_main([f"config={config_path}"]))
 
     workspace = tmp_path / "ws"
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env.pop("XLA_FLAGS", None)
-    env.pop("WORKSPACE", None)
-    port = _free_port()
+
+    import shutil
+
     worker = os.path.join(REPO, "tests", "multiprocess_eval_tok_worker.py")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(pid), str(NPROC), str(port),
-             str(workspace), str(config_path)],
-            env=env, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for pid in range(NPROC)
-    ]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"eval_tokenizer worker {pid} failed:\n{out[-6000:]}"
+    run_workers(worker, NPROC, [workspace, config_path],
+                label="eval_tokenizer worker",
+                reset=lambda: shutil.rmtree(workspace, ignore_errors=True))
 
     results = []
     for pid in range(NPROC):
@@ -748,23 +729,12 @@ def test_train_maskbit_cli_fused_attention_host_local_viz(tmp_path):
     config_path.write_text(yaml.safe_dump(cfg))
     workspace = tmp_path / "ws"
 
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env.pop("XLA_FLAGS", None)
-    port = _free_port()
+    import shutil
+
     worker = os.path.join(REPO, "tests", "multiprocess_train_worker.py")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(pid), str(nproc), str(port),
-             str(workspace), str(config_path), "maskbit", "2"],
-            env=env, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for pid in range(nproc)
-    ]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"fused-viz worker {pid} failed:\n{out[-6000:]}"
+    run_workers(worker, nproc, [workspace, config_path, "maskbit", "2"],
+                label="fused-viz worker",
+                reset=lambda: shutil.rmtree(workspace, ignore_errors=True))
 
     out_dir = workspace / "mp_gen_fused"
     images = os.listdir(out_dir / "images")
@@ -779,22 +749,8 @@ def test_in_train_generation_eval_shards_across_hosts(tmp_path):
     those results equal a single-host run over ALL batches."""
     import numpy as np
 
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env.pop("XLA_FLAGS", None)
-    port = _free_port()
     worker = os.path.join(REPO, "tests", "multiprocess_gen_eval_worker.py")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(pid), str(NPROC), str(port), str(tmp_path)],
-            env=env, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for pid in range(NPROC)
-    ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"gen eval worker {pid} failed:\n{out[-6000:]}"
+    run_workers(worker, NPROC, [tmp_path], timeout=600, label="gen eval worker")
 
     results = []
     for pid in range(NPROC):
