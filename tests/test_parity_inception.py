@@ -235,6 +235,12 @@ def test_validate_tool_torch_twin_is_tf1(rng):
     import os
 
     from maskbit_tpu.eval.inception import resize_bilinear_tf1
+    from reference_compat import import_reference
+
+    # Reproduce full-suite ordering: earlier parity tests install the
+    # torch_fidelity stub whose TF1 symbol is None — the tool's import then
+    # "succeeds" with a non-callable and must fall back to the local replica.
+    import_reference()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(

@@ -39,12 +39,14 @@ def tf1_interpolate_torch(x, size):
         from torch_fidelity.interpolate_compat_tensorflow import (
             interpolate_bilinear_2d_like_tensorflow1x,
         )
-
+    except ImportError:
+        interpolate_bilinear_2d_like_tensorflow1x = None
+    # tests/reference_compat.py stubs the torch_fidelity module tree with the
+    # symbol set to None — the import then "succeeds"; only call the real thing.
+    if callable(interpolate_bilinear_2d_like_tensorflow1x):
         return interpolate_bilinear_2d_like_tensorflow1x(
             x, size=size, align_corners=False
         )
-    except ImportError:
-        pass
     in_h, in_w = x.shape[2], x.shape[3]
     out_h, out_w = size
 
