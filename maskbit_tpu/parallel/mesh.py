@@ -106,22 +106,47 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 # --- parameter partitioning rules -----------------------------------------
-# (path regex, PartitionSpec factory). First match wins. Any annotation is
-# correctness-preserving under GSPMD; these choices minimize collective
-# traffic for the generator's transformer.
+# (path regex, PartitionSpec). First match WITH DIVISIBLE DIMS wins — a rule
+# whose axis sizes don't divide the leaf's dims is skipped, so a pattern may
+# appear twice (primary spec, then fallback). Any annotation is
+# correctness-preserving under GSPMD; these choices make BOTH model axes
+# real:
+#   * tensor — megatron split of heads / mlp hidden (column- then row-wise,
+#     so each attention/FFN pair needs one psum on its output),
+#   * fsdp  — ZeRO-style parameter + optimizer-state sharding of every
+#     remaining dim. GSPMD all-gathers a weight right before use and
+#     reduce-scatters its gradient (the standard JAX fsdp recipe: the
+#     batch is also sharded over ('data', 'fsdp'), see batch_sharding),
+#     so params, AdamW moments and EMA all scale 1/fsdp per device.
 _PARAM_RULES = [
-    # tensor-parallel transformer: split heads / mlp hidden
+    # tensor-parallel transformer 2-D kernels, fsdp on the other dim
+    (re.compile(r".*/(qkv|fc1)/kernel$"), P("fsdp", "tensor")),
     (re.compile(r".*/(qkv|fc1)/kernel$"), P(None, "tensor")),
+    (re.compile(r".*/(out_proj|fc2)/kernel$"), P("tensor", "fsdp")),
     (re.compile(r".*/(out_proj|fc2)/kernel$"), P("tensor", None)),
+    (re.compile(r".*/(qkv|fc1)/bias$"), P(("tensor", "fsdp"))),
     (re.compile(r".*/(qkv|fc1)/bias$"), P("tensor")),
+    (re.compile(r".*/(prediction_layer|last_dense)/kernel$"), P("fsdp", "tensor")),
     (re.compile(r".*/prediction_layer/kernel$"), P(None, "tensor")),
-    # embeddings: shard vocab dim over fsdp
+    # input_proj rows = bit count (tiny, indivisible): shard the hidden dim
+    (re.compile(r".*/input_proj/kernel$"), P(None, ("tensor", "fsdp"))),
+    # embeddings: vocab over fsdp when divisible (VQ/LFQ codebooks), else
+    # the feature dim (class_emb's 1001 rows, Bert's 2^k+1 token tables)
     (re.compile(r".*/embedding$"), P("fsdp", None)),
+    (re.compile(r".*/embedding$"), P(None, ("tensor", "fsdp"))),
+    # learned positional embedding (1, seq+1, hidden): feature dim
+    (re.compile(r".*pos_emb$"), P(None, None, ("tensor", "fsdp"))),
+    # Bert weight-tied head's per-position bias (seq_len, ecs)
+    (re.compile(r".*/bias_\d+$"), P("fsdp", None)),
     # conv kernels: shard output channels over fsdp when large. Keep this
-    # 4-dim catch-all LAST: specific 2-dim rules above must win first-match
-    # (the rank-mismatch `continue` in _spec_for is a fallback, not the
-    # mechanism specific rules should rely on).
+    # 4-dim catch-all above the 1-D vector rule but below all 2-dim rules:
+    # specific rules must win first-match (the rank-mismatch `continue` in
+    # _spec_for is a fallback, not the mechanism specific rules rely on).
     (re.compile(r".*/kernel$"), P(None, None, None, "fsdp")),
+    # every remaining 1-D vector (dense/conv biases, norm scales): ZeRO
+    # moments for these replicate otherwise. Indivisible sizes fall back to
+    # replication via _spec_for's divisibility check.
+    (re.compile(r".*/(bias|scale)$"), P(("tensor", "fsdp"))),
 ]
 
 

@@ -40,13 +40,14 @@ def test_param_sharding_rules():
     shardings = param_shardings(params, mesh)
 
     qkv = shardings["transformer"]["layers_0_attn"]["mha"]["qkv"]["kernel"]
-    assert qkv.spec == P(None, "tensor")
+    assert qkv.spec == P("fsdp", "tensor")
     out_proj = shardings["transformer"]["layers_0_attn"]["mha"]["out_proj"]["kernel"]
-    assert out_proj.spec == P("tensor", None)
+    assert out_proj.spec == P("tensor", "fsdp")
     fc1 = shardings["transformer"]["layers_0_ffn"]["fc1"]["kernel"]
-    assert fc1.spec == P(None, "tensor")
-    # class_emb has 11 rows (not divisible by fsdp=2): replicated
-    assert shardings["class_emb"]["embedding"].spec == P()
+    assert fc1.spec == P("fsdp", "tensor")
+    # class_emb has 11 rows (not divisible by fsdp=2): falls back to the
+    # feature-dim fsdp rule instead of replicating
+    assert shardings["class_emb"]["embedding"].spec == P(None, ("tensor", "fsdp"))
 
     sharded = shard_params(params, mesh)
     # tensor-parallel leaf is actually split across devices
@@ -55,6 +56,74 @@ def test_param_sharding_rules():
     np.testing.assert_allclose(
         np.asarray(leaf), np.asarray(params["transformer"]["layers_0_ffn"]["fc1"]["kernel"])
     )
+
+
+def _sharded_fraction(tree) -> float:
+    """Fraction of array bytes whose placement actually SPLITS the leaf
+    (shard shape != global shape) — counts real sharding, not just specs."""
+    total = 0
+    sharded = 0
+    for leaf in jax.tree.leaves(tree):
+        if not isinstance(leaf, jax.Array) or leaf.ndim == 0:
+            continue
+        nbytes = leaf.size * leaf.dtype.itemsize
+        total += nbytes
+        if leaf.sharding.shard_shape(leaf.shape) != leaf.shape:
+            sharded += nbytes
+    return sharded / max(total, 1)
+
+
+@needs_8
+def test_fsdp_shards_generator_train_state_bytes():
+    """The fsdp axis is a real ZeRO: >=90% of generator param + AdamW moment
+    + EMA bytes split across devices under a pure-fsdp mesh (VERDICT r4 #1).
+    Flagship-proportioned dims (hidden/mlp/vocab ratios of the 14-bit
+    config) so divisibility behaves as it does at scale."""
+    import optax
+
+    from maskbit_tpu.parallel.mesh import shard_train_state
+    from maskbit_tpu.train.generator_trainer import init_generator_train_state
+
+    model = LFQBert(img_size=64, hidden_dim=256, codebook_size=16384,
+                    codebook_splits=2, depth=2, heads=8, mlp_dim=1024,
+                    nclass=1000, input_stride=16)
+    state = init_generator_train_state(
+        model, optax.adamw(1e-4), jax.random.key(0), use_ema=True
+    )
+    mesh = create_mesh(MeshConfig(data=1, fsdp=8, tensor=1))
+    sharded = shard_train_state(state, mesh)
+
+    frac = _sharded_fraction(sharded)
+    assert frac >= 0.90, f"only {frac:.1%} of train-state bytes fsdp-sharded"
+
+    # the big per-layer kernels and their optimizer moments are all split
+    qkv = sharded.params["transformer"]["layers_0_attn"]["mha"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P("fsdp", "tensor")
+    mu = sharded.opt[0].mu["transformer"]["layers_0_ffn"]["fc1"]["kernel"]
+    assert "fsdp" in jax.tree.leaves(tuple(mu.sharding.spec))
+    ema_leaf = sharded.ema.params["transformer"]["layers_0_ffn"]["fc2"]["kernel"]
+    assert ema_leaf.sharding.shard_shape(ema_leaf.shape) != ema_leaf.shape
+
+
+@needs_8
+def test_fsdp_only_forward_matches_replicated():
+    """ZeRO sharding is numerics-preserving: fsdp=8 forward == unsharded."""
+    model = LFQBert(img_size=32, hidden_dim=64, codebook_size=256, codebook_splits=2,
+                    depth=2, heads=4, mlp_dim=128, nclass=10, input_stride=4)
+    tokens = jnp.asarray(np.random.default_rng(1).integers(0, 16, (8, 64, 2)))
+    labels = jnp.arange(8, dtype=jnp.int32) % 10
+    variables = model.init(jax.random.key(0), tokens, labels)
+
+    expected = model.apply(variables, tokens, labels)
+
+    mesh = create_mesh(MeshConfig(data=1, fsdp=8, tensor=1))
+    with mesh:
+        sharded_params = shard_params(variables["params"], mesh)
+        tokens_s = jax.device_put(tokens, batch_sharding(mesh))
+        out = jax.jit(lambda p, t, l: model.apply({"params": p}, t, l))(
+            sharded_params, tokens_s, labels
+        )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5, rtol=1e-4)
 
 
 @needs_8
