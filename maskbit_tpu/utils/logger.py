@@ -63,13 +63,53 @@ def setup_logger(
 
     if output_file:
         if "://" in output_file:
-            fh = logging.StreamHandler(_cached_log_stream(output_file))
+            fh = _RateLimitedFlushHandler(_cached_log_stream(output_file))
         else:
             os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
             fh = logging.FileHandler(output_file)
         fh.setFormatter(logging.Formatter(fmt, datefmt="%m/%d %H:%M:%S"))
         logger.addHandler(fh)
     return logger
+
+
+class _RateLimitedFlushHandler(logging.StreamHandler):
+    """StreamHandler whose flush pushes the remote buffer AT MOST every
+    `interval` seconds.
+
+    StreamHandler.emit flushes after every record; on a plain buffered
+    stream that is a no-op until the buffer fills, so a crash (SIGKILL is
+    the documented relay-outage remedy) can lose up to 1 MB of log tail.
+    Rate-limited `flush(force=True)` bounds the loss to `interval` seconds
+    of lines while still batching the object-store requests in between.
+    Best-effort: a store that rejects mid-file commits just waits for the
+    next interval / the atexit close."""
+
+    def __init__(self, stream, interval: float = 60.0):
+        super().__init__(stream)
+        self._interval = interval
+        self._last_flush = _monotonic()
+
+    def flush(self):
+        now = _monotonic()
+        if now - self._last_flush < self._interval:
+            return
+        self._last_flush = now
+        with self.lock:
+            try:
+                try:
+                    # fsspec buffered files: plain flush() is a no-op below
+                    # the blocksize; force=True commits the pending bytes
+                    self.stream.flush(force=True)
+                except TypeError:
+                    self.stream.flush()
+            except Exception:
+                pass
+
+
+def _monotonic() -> float:
+    import time
+
+    return time.monotonic()
 
 
 @functools.lru_cache(maxsize=None)
@@ -84,9 +124,10 @@ def _cached_log_stream(filename: str):
 
     try:
         stream = fsspec.open(filename, "a", buffering=1024 * 1024).open()
-    except (FileNotFoundError, NotImplementedError):
-        # object stores generally can't append (and some raise on a missing
-        # target even in append mode) — a fresh object per run is fine
+    except (OSError, ValueError, NotImplementedError):
+        # object stores generally can't append: s3fs/gcsfs raise OSError or
+        # ValueError for unsupported modes, local raises FileNotFoundError on
+        # a missing target — a fresh object per run is the fallback for all
         stream = fsspec.open(filename, "w", buffering=1024 * 1024).open()
     atexit.register(stream.close)
     return stream
