@@ -317,8 +317,9 @@ def main(argv=None):
                     )
                 results = {}
                 if gen_evaluator is not None:
-                    # collective (all hosts reach here iff inception weights
-                    # exist, an env/config fact shared by the pod); runs
+                    # collective; _eval_generation has already verified every
+                    # host agrees on the weights/stats gates (a disagreement
+                    # raises there instead of deadlocking here); runs
                     # OUTSIDE the host-local mesh context
                     gen_evaluator.merge_across_hosts()
                     results = gen_evaluator.result()
@@ -359,10 +360,14 @@ def _log_decoded_pair(tokenizer, tokenizer_vars, viz_payload, vq_cfg, mlm_cfg,
 
 
 def _eval_generation(config, sampler, gen_vars, tok_vars, rng, logger,
-                     num_samples: int = 2000, batch_size: int = 50):
+                     num_samples: int | None = None,
+                     batch_size: int | None = None):
     """In-training generation eval (reference eval_generation :556-600):
     IS (+ FID vs eval.stats_path) over a few thousand EMA samples.
     Skipped (returns None) unless MASKBIT_INCEPTION_WEIGHTS is available.
+    Sizing is config-driven (`eval.num_generation_samples`,
+    `eval.generation_batch_size`, matching the reference's config-sized
+    eval_dataloader) unless the caller overrides it explicitly.
 
     Sharded across hosts: the rng chain advances identically on every host
     but host h only samples batches with i % nproc == h, so a pod scores
@@ -373,15 +378,30 @@ def _eval_generation(config, sampler, gen_vars, tok_vars, rng, logger,
     from maskbit_tpu.cli.eval_tokenizer import make_inception_fn
     from maskbit_tpu.eval.fid import load_stats_npz
     from maskbit_tpu.eval.streaming import GeneratorEvaluator
+    from maskbit_tpu.parallel.mesh import assert_host_agreement
 
+    if num_samples is None:
+        num_samples = config.select("eval.num_generation_samples", 2000)
+    if batch_size is None:
+        batch_size = config.select("eval.generation_batch_size", 50)
     inception_fn = make_inception_fn()
+    stats_path = config.select("eval.stats_path", "")
+    has_stats = bool(stats_path and os.path.exists(stats_path))
+    # both gates are PER-HOST facts (an env-pointed weights file, a stats
+    # .npz on local disk). They decide whether this host later enters the
+    # merge collectives, so a pod where one host disagrees must fail loudly
+    # HERE rather than deadlock the others in process_allgather
+    assert_host_agreement(
+        {"inception weights found": inception_fn is not None,
+         "eval.stats_path found": has_stats},
+        context="in-train generation eval",
+    )
     if inception_fn is None:
         logger.info("in-training generation eval skipped (no inception weights); "
                     "run cli.eval_maskbit for the full 50k ADM gFID")
         return None
-    stats_path = config.select("eval.stats_path", "")
     real_mu = real_sigma = None
-    if stats_path and os.path.exists(stats_path):
+    if has_stats:
         real_mu, real_sigma = load_stats_npz(stats_path)
     evaluator = GeneratorEvaluator(inception_fn, real_mu, real_sigma)
     key = rng

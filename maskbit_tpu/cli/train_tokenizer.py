@@ -330,11 +330,21 @@ def _log_reconstructions(model, state, batch, tracker, step, num_images):
     tracker.log_image("train/reconstructions", grid, step)
 
 
-def _eval_reconstruction(model, state, eval_loader, config, max_batches: int = 50):
-    """In-training streaming eval (reference eval_reconstruction :553-575)."""
+def _eval_reconstruction(model, state, eval_loader, config,
+                         max_batches: int | None = None):
+    """In-training streaming eval (reference eval_reconstruction :553-575).
+
+    Each host evaluates its own eval-shard split, then the accumulators are
+    summed across hosts (merge_across_hosts, a collective every host runs at
+    the same global step) — the logged metrics cover the WHOLE evaluated set,
+    not just host 0's slice, and codebook usage is the global union. The
+    per-host batch cap comes from `eval.max_eval_batches` (0 = the full eval
+    split, the reference's behavior with a config-sized eval_dataloader)."""
     from maskbit_tpu.eval.streaming import TokenizerEvaluator
     from maskbit_tpu.parallel.mesh import host_accessible
 
+    if max_batches is None:
+        max_batches = config.select("eval.max_eval_batches", 50)
     evaluator = TokenizerEvaluator(
         enable_psnr_score=True, enable_ssim_score=True,
         enable_mse_error=True, enable_mae_error=True,
@@ -346,7 +356,7 @@ def _eval_reconstruction(model, state, eval_loader, config, max_batches: int = 5
     params = {"params": host_accessible(_eval_params(state))}
     apply_fn = jax.jit(lambda v, x: model.apply(v, x))
     for i, batch in enumerate(eval_loader):
-        if i >= max_batches:
+        if max_batches and i >= max_batches:
             break
         images = jnp.asarray(batch["image"])
         recons, result = apply_fn(params, images)
@@ -354,6 +364,7 @@ def _eval_reconstruction(model, state, eval_loader, config, max_batches: int = 5
             images, jnp.clip(recons, 0.0, 1.0),
             codebook_indices=result["min_encoding_indices"],
         )
+    evaluator.merge_across_hosts()
     return evaluator.result()
 
 

@@ -207,7 +207,29 @@ class TokenizerEvaluator:
         allgather (process_allgather would downcast the f64 moments to f32)."""
         if jax.process_count() == 1:
             return
-        from maskbit_tpu.parallel.mesh import process_allgather_f64
+        from maskbit_tpu.parallel.mesh import (
+            assert_host_agreement,
+            process_allgather_f64,
+        )
+
+        # the enable flags gate the collectives below; they normally come
+        # from config, but verify they really agree — a host whose flags
+        # differ would issue a different collective sequence and deadlock
+        # the pod silently instead of erroring
+        assert_host_agreement(
+            {
+                "mae": self._enable_mae_error,
+                "mse": self._enable_mse_error,
+                "psnr": self._enable_psnr_score,
+                "ssim": self._enable_ssim_score,
+                "lpips": self._enable_lpips_score,
+                "inception_score": self._enable_inception_score,
+                "rfid": self._enable_rfid,
+                "codebook_usage": self._enable_codebook_usage_measure,
+                "codebook_entropy": self._enable_codebook_entropy_measure,
+            },
+            context="TokenizerEvaluator.merge_across_hosts",
+        )
 
         def total(x):
             out = process_allgather_f64(x).sum(axis=0)
@@ -350,12 +372,26 @@ class GeneratorEvaluator:
     def merge_across_hosts(self) -> None:
         """Sum the accumulators over all JAX processes (no-op single-host).
 
-        COLLECTIVE: every process must call it at the same point with the
-        same enable flags (they come from config, so they agree). Transport
-        is the bit-exact f64 allgather — see TokenizerEvaluator's note."""
+        COLLECTIVE: every process must call it at the same point. The
+        enable flags gate the collectives below, and `_enable_fid` derives
+        from real_mu presence — a FILESYSTEM fact (the stats .npz) that can
+        genuinely differ across hosts — so they are allgathered and checked
+        first: a disagreement raises instead of deadlocking the pod.
+        Transport is the bit-exact f64 allgather — see TokenizerEvaluator."""
         if jax.process_count() == 1:
             return
-        from maskbit_tpu.parallel.mesh import process_allgather_f64
+        from maskbit_tpu.parallel.mesh import (
+            assert_host_agreement,
+            process_allgather_f64,
+        )
+
+        assert_host_agreement(
+            {
+                "inception_score": self._enable_inception_score,
+                "fid(real stats npz found)": self._enable_fid,
+            },
+            context="GeneratorEvaluator.merge_across_hosts",
+        )
 
         def total(x):
             out = process_allgather_f64(x).sum(axis=0)

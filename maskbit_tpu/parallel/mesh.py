@@ -255,6 +255,36 @@ def process_allgather_f64(x) -> np.ndarray:
     return gathered.view(np.float64).reshape((gathered.shape[0],) + x.shape)
 
 
+def assert_host_agreement(facts: "dict[str, float]", context: str = "") -> None:
+    """Raise loudly when per-host facts disagree (no-op single-host).
+
+    Gating a collective on a per-host fact — a weights file found via an env
+    var, a stats `.npz` on local disk — is a pod deadlock waiting to happen:
+    the hosts that have the file enter the allgather, the ones that don't
+    skip it, and everybody hangs forever with no error. Callers allgather
+    the gate facts through here FIRST (one tiny fixed-shape collective every
+    host always runs) and get a RuntimeError naming the disagreeing fact and
+    the per-host values instead of a silent hang.
+    """
+    if jax.process_count() == 1:
+        return
+    names = sorted(facts)
+    vec = np.asarray([float(facts[k]) for k in names], np.float64)
+    gathered = process_allgather_f64(vec)  # (nproc, len(names))
+    if not (gathered == vec[None]).all():
+        lines = [
+            f"  {name}: " + " ".join(f"host{p}={gathered[p, i]:g}"
+                                     for p in range(gathered.shape[0]))
+            for i, name in enumerate(names)
+            if not (gathered[:, i] == gathered[0, i]).all()
+        ]
+        raise RuntimeError(
+            f"per-host facts disagree{' in ' + context if context else ''} "
+            "(a collective gated on them would deadlock the pod):\n"
+            + "\n".join(lines)
+        )
+
+
 def host_accessible(tree):
     """Make every array leaf of `tree` readable from host code.
 

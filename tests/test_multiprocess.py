@@ -37,7 +37,14 @@ def _free_port() -> int:
 # XLA's Gloo CPU collectives create each device-clique context through a
 # key-value rendezvous with a HARD-CODED 30 s window; this is the fatal
 # signature a worker prints when compile-time skew between workers misses it.
+# BOTH strings must appear: retrying on the init-failed prefix alone would
+# also mask genuine Gloo init regressions (wrong address, protocol errors).
 GLOO_FLAKE = "Gloo context initialization failed"
+GLOO_FLAKE_CAUSE = "GetKeyValue() timed out"
+
+
+def _is_gloo_rendezvous_flake(out: str) -> bool:
+    return GLOO_FLAKE in out and GLOO_FLAKE_CAUSE in out
 
 
 def run_workers(worker, nproc, tail_args, *, timeout=900, label="worker",
@@ -76,7 +83,7 @@ def run_workers(worker, nproc, tail_args, *, timeout=900, label="worker",
             raise
         if all(p.returncode == 0 for p in procs):
             return outs
-        if attempt == 0 and any(GLOO_FLAKE in o for o in outs):
+        if attempt == 0 and any(_is_gloo_rendezvous_flake(o) for o in outs):
             print(f"{label}: missed the 30s Gloo rendezvous window; "
                   "retrying once with fresh outputs", flush=True)
             if reset is not None:
@@ -131,6 +138,19 @@ def test_run_workers_retries_gloo_flake_once(tmp_path):
     hard.write_text("import sys; sys.exit(3)\n")
     with pytest.raises(AssertionError, match="hard 0 failed"):
         run_workers(str(hard), 2, [tmp_path], timeout=60, label="hard")
+
+    # a genuine Gloo init failure (no rendezvous-timeout cause) is NOT the
+    # window flake and must fail immediately, not flake-retry into masking
+    # a deterministic clique-formation regression
+    gloo_hard = tmp_path / "gloo_hard_worker.py"
+    gloo_hard.write_text(
+        "import sys\n"
+        "sys.stderr.write('Gloo context initialization failed: "
+        "connect: connection refused\\n')\n"
+        "sys.exit(1)\n"
+    )
+    with pytest.raises(AssertionError, match="gloo-hard 0 failed"):
+        run_workers(str(gloo_hard), 2, [tmp_path], timeout=60, label="gloo-hard")
 
 
 def test_workers_pass_internal_asserts(mp_results):
@@ -740,6 +760,36 @@ def test_train_maskbit_cli_fused_attention_host_local_viz(tmp_path):
     images = os.listdir(out_dir / "images")
     assert any(p.startswith("train_generated") for p in images)
     assert any(p.startswith("train_decoded") for p in images)
+
+
+def test_in_train_tokenizer_eval_merges_across_hosts(tmp_path):
+    """VERDICT r4 #4: _eval_reconstruction under 2-process jax.distributed —
+    each host evaluates a disjoint half of the batches, the accumulators are
+    merged across hosts INSIDE _eval_reconstruction, and both hosts report
+    IDENTICAL results equal to a single-host run over ALL batches."""
+    import numpy as np
+
+    worker = os.path.join(REPO, "tests", "multiprocess_tok_eval_worker.py")
+    run_workers(worker, NPROC, [tmp_path], timeout=600, label="tok eval worker")
+
+    results = []
+    for pid in range(NPROC):
+        with open(tmp_path / f"tok_eval_result_{pid}.json") as f:
+            results.append(json.load(f))
+    # 4 batches over 2 hosts -> 2 each (1/N the work)
+    for r in results:
+        assert r["local_batches"] == 4 // NPROC, r
+    # merged accumulators are global: identical across hosts
+    assert results[0]["results"] == results[1]["results"]
+    merged, single = results[0]["results"], results[0]["expected"]
+    assert set(merged) == set(single) == {
+        "MAE", "MSE", "PSNR", "SSIM", "CodebookUsage", "CodebookEntropy"}
+    for k in merged:
+        # per-host partial sums merge in a different association than the
+        # sequential single-host sum -> fp-tiny tolerance
+        np.testing.assert_allclose(merged[k], single[k], rtol=1e-9, err_msg=k)
+    # a disagreeing per-host gate fact raised loudly on every host
+    assert all(r["disagreement_raised"] for r in results)
 
 
 def test_in_train_generation_eval_shards_across_hosts(tmp_path):
