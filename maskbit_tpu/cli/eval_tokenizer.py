@@ -54,14 +54,25 @@ def build_tokenizer(config, dtype):
 
 
 def make_inception_fn():
-    """Bound inception apply if weights are available, else None."""
+    """Bound inception apply if weights are available, else None.
+
+    MASKBIT_ADM_PB (the OpenAI classify_image_graph_def.pb, the ADM suite's
+    exact headline network — reference utils/adm_eval_suite.py:16-17) takes
+    precedence over MASKBIT_INCEPTION_WEIGHTS (the pt-fid torch weights,
+    converted from the same graph but not byte-identical)."""
+    pb_path = os.environ.get("MASKBIT_ADM_PB", "")
     path = os.environ.get("MASKBIT_INCEPTION_WEIGHTS", "")
-    if not os.path.exists(path):
-        return None
     from maskbit_tpu.eval.inception import InceptionV3, load_inception_params
 
+    if pb_path and os.path.exists(pb_path):
+        from maskbit_tpu.compat.tf_graphdef import extract_inception_params
+
+        variables = jax.tree.map(jnp.asarray, extract_inception_params(pb_path))
+    elif os.path.exists(path):
+        variables = load_inception_params(path)
+    else:
+        return None
     model = InceptionV3()
-    variables = load_inception_params(path)
     return jax.jit(lambda img: model.apply(variables, img.astype(jnp.float32)))
 
 
