@@ -37,6 +37,11 @@ REPEATS = 3
 # and int8 cannot raise the ceiling here (measured 1.09x bf16 on this
 # part at the dominant serving matmul shape, round 4).
 ROOFLINE_IMG_S = 9.52
+# The honest ceiling: XLA's own pure back-to-back matmuls at the serving
+# shapes deliver 68-78% of peak (tools/profile_serving_budget.py, round 5),
+# bounding any same-shape implementation at ~7.4 img/s/chip; the sampler
+# runs at ~95% of that delivered-matmul bound.
+MATMUL_BOUND_IMG_S = 7.4
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
 
 
@@ -172,6 +177,8 @@ def _measure():
         "vs_baseline": round(images_per_sec_per_chip / baseline, 4),
         "mfu": round(images_per_sec_per_chip / ROOFLINE_IMG_S, 4),
         "roofline_img_s_chip": ROOFLINE_IMG_S,
+        "matmul_bound_img_s": MATMUL_BOUND_IMG_S,
+        "frac_of_matmul_bound": round(images_per_sec_per_chip / MATMUL_BOUND_IMG_S, 4),
         "a100_reference_estimate_img_s": "2.6-3.4 (fp32/TF32 eager, BASELINE.md)",
     }))
 

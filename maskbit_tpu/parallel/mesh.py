@@ -215,6 +215,24 @@ def shard_train_state(state, mesh: Mesh):
     return shard_params(state, mesh)
 
 
+def sharded_byte_fraction(tree) -> float:
+    """Fraction of array bytes in `tree` whose placement actually SPLITS the
+    leaf across devices (shard shape != global shape). Counts real sharding,
+    not just annotations — a P() or size-1-axis spec contributes 0. Used by
+    the ZeRO tests and the multichip dryrun to prove the fsdp/tensor axes
+    genuinely reduce per-device state bytes (VERDICT r4 #1)."""
+    total = 0
+    split = 0
+    for leaf in jax.tree.leaves(tree):
+        if not isinstance(leaf, jax.Array) or leaf.ndim == 0:
+            continue
+        nbytes = leaf.size * leaf.dtype.itemsize
+        total += nbytes
+        if leaf.sharding.shard_shape(leaf.shape) != leaf.shape:
+            split += nbytes
+    return split / max(total, 1)
+
+
 def local_mesh(config: MeshConfig = MeshConfig()) -> Mesh:
     """A mesh over this process's addressable devices only.
 

@@ -13,6 +13,7 @@ from maskbit_tpu.parallel.mesh import (
     create_mesh,
     param_shardings,
     shard_params,
+    sharded_byte_fraction as _sharded_fraction,
 )
 
 needs_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
@@ -56,21 +57,6 @@ def test_param_sharding_rules():
     np.testing.assert_allclose(
         np.asarray(leaf), np.asarray(params["transformer"]["layers_0_ffn"]["fc1"]["kernel"])
     )
-
-
-def _sharded_fraction(tree) -> float:
-    """Fraction of array bytes whose placement actually SPLITS the leaf
-    (shard shape != global shape) — counts real sharding, not just specs."""
-    total = 0
-    sharded = 0
-    for leaf in jax.tree.leaves(tree):
-        if not isinstance(leaf, jax.Array) or leaf.ndim == 0:
-            continue
-        nbytes = leaf.size * leaf.dtype.itemsize
-        total += nbytes
-        if leaf.sharding.shard_shape(leaf.shape) != leaf.shape:
-            sharded += nbytes
-    return sharded / max(total, 1)
 
 
 @needs_8
@@ -124,6 +110,83 @@ def test_fsdp_only_forward_matches_replicated():
             sharded_params, tokens_s, labels
         )
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5, rtol=1e-4)
+
+
+@needs_8
+def test_fsdp_only_donation_and_resume(tmp_path):
+    """The remaining ZeRO done-criterion (VERDICT r4 #1): on a PURE-fsdp
+    mesh the donated generator train step consumes every old-state buffer
+    with stable output shardings, a checkpoint of the sharded state restores
+    into the sharded template, and training continues from it."""
+    import optax
+    import warnings
+
+    from maskbit_tpu.core.checkpoint import CheckpointManager, abstract_sharded
+    from maskbit_tpu.losses.mlm import MLMLossConfig
+    from maskbit_tpu.models.tokenizer import ConvVQModel
+    from maskbit_tpu.parallel.mesh import shard_train_state
+    from maskbit_tpu.train.generator_trainer import (
+        init_generator_train_state,
+        make_generator_train_step,
+    )
+
+    model = LFQBert(img_size=32, hidden_dim=64, codebook_size=256,
+                    codebook_splits=2, depth=2, heads=4, mlp_dim=128,
+                    dropout=0.0, nclass=10, input_stride=4)
+    tokenizer = ConvVQModel(
+        num_channels=3, hidden_channels=32, channel_mult=(1, 2, 4),
+        num_resolutions=3, num_res_blocks=1, token_size=8, codebook_size=256,
+        quantizer_type="lookup-free", entropy_loss_weight=0.0,
+    )
+    tx = optax.adamw(1e-3)
+    mesh = create_mesh(MeshConfig(data=1, fsdp=8, tensor=1))
+    images = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(8, 32, 32, 3)), jnp.float32
+    )
+    labels = jnp.arange(8, dtype=jnp.int32) % 10
+
+    with mesh:
+        tok_vars = tokenizer.init(jax.random.key(1), jnp.zeros((1, 32, 32, 3)))
+        state = init_generator_train_state(model, tx, jax.random.key(0),
+                                           use_ema=True)
+        state = shard_train_state(state, mesh)
+        assert _sharded_fraction(state) > 0.5
+        state_shardings = jax.tree.map(lambda x: x.sharding, state)
+        step_fn = jax.jit(
+            make_generator_train_step(model, tokenizer, tx, MLMLossConfig()),
+            donate_argnums=0,
+            out_shardings=(state_shardings, None),
+        )
+        images_s = jax.device_put(images, batch_sharding(mesh))
+
+        old_leaves = jax.tree.leaves(state)
+        with warnings.catch_warnings():
+            warnings.filterwarnings("error", message=".*[Dd]onated buffers.*")
+            state, metrics = step_fn(state, tok_vars, images_s, labels,
+                                     jax.random.key(2))
+            jax.block_until_ready(state)
+        assert all(leaf.is_deleted() for leaf in old_leaves), (
+            "donation did not take effect on the fsdp-only mesh"
+        )
+        assert np.isfinite(float(metrics["mlm_loss"]))
+        same = jax.tree.map(lambda s, x: s == x.sharding, state_shardings, state)
+        assert all(jax.tree.leaves(same)), "output shardings drifted under fsdp"
+
+        # save the sharded state, restore into the sharded template, resume
+        ckpt = CheckpointManager(str(tmp_path / "ckpts"))
+        ckpt.save(1, state)
+        ckpt.wait()
+        template = abstract_sharded(state, state_shardings)
+        restored, step = ckpt.restore_latest(template)
+        assert step == 1
+        for r, s in zip(jax.tree.leaves(restored), jax.tree.leaves(state)):
+            assert r.sharding == s.sharding
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(s))
+
+        restored2, metrics2 = step_fn(restored, tok_vars, images_s, labels,
+                                      jax.random.key(3))
+        jax.block_until_ready(restored2)
+        assert np.isfinite(float(metrics2["mlm_loss"]))
 
 
 @needs_8

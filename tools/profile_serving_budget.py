@@ -54,12 +54,17 @@ def timeit_once(fn, *args, repeats=3):
 
 def chain(body, x, *weights, reps=REPS):
     """Data-dependent scan of `body` so per-iteration time excludes the
-    ~1.3 ms relay dispatch floor (BENCHMARKS round 4)."""
+    ~1.3 ms relay dispatch floor (BENCHMARKS round 4). When the body's
+    output shape differs from the carry, fold a scalar of it back instead
+    (cheap reduction; keeps the loop data-dependent without reshaping)."""
 
     @jax.jit
     def run(x, *w):
         def step(carry, _):
-            return body(carry, *w), None
+            out = body(carry, *w)
+            if out.shape == carry.shape and out.dtype == carry.dtype:
+                return out, None
+            return carry + (1e-6 * jnp.sum(out)).astype(carry.dtype), None
 
         out, _ = jax.lax.scan(step, x, jnp.arange(reps))
         return out
@@ -107,8 +112,11 @@ def main():
         def step(tok, _):
             logits = generator.apply(gv, tok, labels2, drop2,
                                      deterministic=True)
-            # minimal data dependency back into tokens
-            return jnp.where(logits[..., :1].sum() > 0, tok, tok), None
+            # GENUINE data dependency back into tokens (a foldable identity
+            # like where(c, tok, tok) lets XLA DCE the whole apply)
+            bump = (jnp.sum(logits[..., 0].astype(jnp.float32))
+                    .astype(jnp.int32) % 2)
+            return jnp.clip(tok + bump, 0, 2**5), None
 
         out, _ = jax.lax.scan(step, tokens, jnp.arange(64))
         return out
@@ -121,7 +129,9 @@ def main():
     # ---- C: per-layer components at (CFGB, N, D) -----------------------
     x = jax.random.normal(key, (CFGB, N, D), jnp.bfloat16)
     wqkv = jax.random.normal(key, (D, 3 * D), jnp.bfloat16) * 0.02
+    bqkv = jnp.zeros((3 * D,), jnp.bfloat16)
     wout = jax.random.normal(key, (D, D), jnp.bfloat16) * 0.02
+    bout = jnp.zeros((D,), jnp.bfloat16)
     w1 = jax.random.normal(key, (D, MLP), jnp.bfloat16) * 0.02
     w2 = jax.random.normal(key, (MLP, D), jnp.bfloat16) * 0.02
     scale = jnp.ones((D,), jnp.float32)
@@ -138,11 +148,13 @@ def main():
     # integrated Pallas fused attention block
     from maskbit_tpu.nn.pallas_attention import fused_attention_block
 
-    def attn_block(xx, wqkv, wout, scale, bias):
-        return fused_attention_block(xx, wqkv, wout, scale, bias, heads=H)
+    def attn_block(xx, wqkv, bqkv, wout, bout, scale, bias):
+        return fused_attention_block(xx, wqkv, bqkv, wout, bout, scale, bias,
+                                     num_heads=H)
 
     t_ab, _ = row("Pallas fused attn block (postnorm)",
-                  chain(attn_block, x, wqkv, wout, scale, bias), f_attn)
+                  chain(attn_block, x, wqkv, bqkv, wout, bout, scale, bias),
+                  f_attn)
 
     # XLA einsum attention block (the non-Pallas path) for reference
     def xla_attn(xx, wqkv, wout, scale, bias):
@@ -159,12 +171,17 @@ def main():
     row("XLA einsum attn block (reference)",
         chain(xla_attn, x, wqkv, wout, scale, bias), f_attn)
 
-    # attention pure-matmul roofline chain (qkv + out only, no attention)
-    def mm_attn(xx, wqkv, wout):
-        y = ((xx @ wqkv)[..., :D]) @ wout
-        return y.astype(xx.dtype)
+    # attention pure-matmul roofline at the qkv shape: (M,1024)x(1024,3072)
+    # then (M,3072)x(3072,1024). The second matmul consumes EVERY column of
+    # the first (a [..., :D] slice lets XLA narrow the qkv matmul to 1/3 of
+    # its columns — measured 100.6% "MFU"; a .sum(2) fold materializes the
+    # (M,3072) intermediate through HBM — measured 38.8%).
+    def mm_attn(xx, wqkv):
+        y = (xx @ wqkv) @ wqkv.T
+        return (xx + 1e-3 * y).astype(xx.dtype)
 
-    row("  pure matmul qkv+out", chain(mm_attn, x, wqkv, wout), f_qkv_out)
+    f_mm2 = 2 * 2 * CFGB * N * D * (3 * D)
+    row("  pure matmul chain @qkv shapes", chain(mm_attn, x, wqkv), f_mm2)
 
     # the model's FFN exactly (postnorm, poly-erf gelu, f32 LN)
     from maskbit_tpu.ops.activations import gelu_erf
@@ -183,6 +200,18 @@ def main():
         return ((xx @ w1) @ w2).astype(xx.dtype)
 
     row("  pure matmul fc1+fc2", chain(mm_ffn, x, w1, w2), f_ffn)
+
+    # one FULL layer exactly as the model chains it (attn block -> FFN):
+    # reconciles the standalone rows against the in-model per-layer time —
+    # XLA can fuse across the block boundary inside the scan body
+    def full_layer(xx, wqkv, bqkv, wout, bout, scale, bias, w1, w2):
+        y = fused_attention_block(xx, wqkv, bqkv, wout, bout, scale, bias,
+                                  num_heads=H)
+        return ffn(y, w1, w2, scale, bias)
+
+    t_layer, _ = row("full layer (attn block -> FFN)",
+                     chain(full_layer, x, wqkv, bqkv, wout, bout, scale, bias,
+                           w1, w2), f_attn + f_ffn)
 
     # ---- D: embed + head ------------------------------------------------
     bits_total = 10  # 10-bit, 2 splits -> input bits dim 10? (K bits total)
@@ -237,6 +266,7 @@ def main():
     # ---- reconciliation --------------------------------------------------
     per_step = DEPTH * (t_ab + t_ffn)
     print(f"\nreconstructed step = 24*(attn_block + ffn) = {per_step*1e3:.3f} ms")
+    print(f"reconstructed step = 24*(full layer)        = {DEPTH*t_layer*1e3:.3f} ms")
     print(f"measured transformer step (B/64)           = {t_tr/64*1e3:.3f} ms")
     print(f"measured full step (A/64)                  = {t_full/64*1e3:.3f} ms")
     # 20.7 TFLOP/image (BENCHMARKS round 2) x 24 images / 64 steps
