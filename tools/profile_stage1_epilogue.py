@@ -66,10 +66,12 @@ def gn_silu(x, scale, bias):
 
 
 def conv3x3(x, w):
+    # no preferred_element_type: its transpose rule rejects the mixed
+    # (bf16 operand, f32 cotangent) pair under jax.grad, and the MXU
+    # accumulates in f32 internally for bf16 inputs regardless
     return jax.lax.conv_general_dilated(
         x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
 
 
 def report(name, t, flops, bytes_moved):

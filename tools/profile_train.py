@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 PEAK = 197e12  # v5e bf16
-BATCH = 16
+BATCH = int(os.environ.get("MASKBIT_PROFILE_BATCH", "16"))
 RES = 256
 
 
@@ -168,5 +168,8 @@ def stage_two():
 
 
 if __name__ == "__main__":
-    stage_one()
-    stage_two()
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    if which in ("both", "one"):
+        stage_one()
+    if which in ("both", "two"):
+        stage_two()
