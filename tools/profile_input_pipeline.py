@@ -1,7 +1,7 @@
 """Input-pipeline sustainment at pod rates (VERDICT r4 #7).
 
 Question: can the tar pipeline FEED Stage-I training? The fastest measured
-Stage-I step is 146.1 img/s/chip at 256/b32 (BENCHMARKS.md); a standard
+Stage-I step is 125.9 img/s/chip at 256/b32 (BENCHMARKS.md); a standard
 8-chip v5e host must therefore source ~1169 img/s of decoded+augmented
 images from its CPUs. This tool measures, end to end through the REAL
 iterator (tar parse -> shuffle buffer -> decode pool -> transform), the
@@ -32,7 +32,7 @@ from maskbit_tpu import native
 from maskbit_tpu.data import tar_reader
 from maskbit_tpu.data.transforms import TrainTransform
 
-STAGE1_IMG_S_CHIP = 146.1   # 256px b32 flagship step (BENCHMARKS.md)
+STAGE1_IMG_S_CHIP = 125.9   # 256px b32 flagship GAN step (BENCHMARKS.md r5)
 STAGE2_IMG_S_CHIP = 184.5   # 256px b32 fused-dropout step
 CHIPS_PER_HOST = 8
 SIZES = [(375, 500), (333, 500), (500, 375), (480, 640), (768, 1024), (256, 256)]
@@ -82,24 +82,24 @@ def iterator_rate(path, n, backend, threads, repeats=3):
 
 
 def train_loop_view(path, backend, batch=32, steps=8, step_s=32 / STAGE1_IMG_S_CHIP):
-    """data_time vs batch_time exactly as the trainer measures them, with a
-    sleeping stand-in for the accelerator step (the real chip computes
-    asynchronously; what matters is whether next(batch) returns in time)."""
+    """data_time vs batch_time exactly as the trainer measures them, through
+    the PRODUCTION loader composition (decode pool -> batched() collate ->
+    PrefetchIterator), with a sleeping stand-in for the accelerator step
+    (the real chip computes asynchronously; what matters is whether
+    next(loader) returns in time)."""
     ds = tar_reader.TarImageDataset(
         path, TrainTransform(resolution=256, seed=0),
         resample=True, shuffle_buffer_size=64, seed=0,
         num_decode_threads=4, decode_backend=backend,
     )
-    it = iter(ds)
+    loader = tar_reader.PrefetchIterator(
+        tar_reader.batched(iter(ds), batch, drop_last=True))
 
-    def next_batch():
-        return np.stack([next(it)["image"] for _ in range(batch)])
-
-    next_batch()  # warm
+    next(loader)  # warm the pool + prefetch queue
     data_times = []
     for _ in range(steps):
         t0 = time.perf_counter()
-        next_batch()
+        next(loader)
         data_times.append(time.perf_counter() - t0)
         time.sleep(step_s)  # the accelerator "step"
     return float(np.mean(data_times)), step_s
@@ -136,9 +136,9 @@ def main():
             continue
         dt, st = train_loop_view(path, backend)
         print(f"\ntrain-loop view ({backend}, 4 threads on {ncores} core(s)): "
-              f"data_time {dt*1e3:.0f} ms vs step {st*1e3:.0f} ms per b32 "
-              f"-> {'SUSTAINS' if dt < 0.05 * st else 'starves'} at "
-              f"{ncores}-core x 1-chip scale")
+              f"data_time {dt*1e3:.1f} ms vs step {st*1e3:.0f} ms per b32 "
+              f"-> {dt/(dt+st)*100:.1f}% of the loop waiting on data "
+              f"at {ncores}-core x 1-chip scale")
 
 
 if __name__ == "__main__":
