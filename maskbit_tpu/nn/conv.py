@@ -186,6 +186,8 @@ class ConvDecoder(nn.Module):
         block_in = self.hidden_channels * self.channel_mult[self.num_resolutions - 1]
         in_channel_mult = tuple(self.channel_mult) + (self.channel_mult[-1],)
 
+        from maskbit_tpu.parallel.mesh import constrain_batch
+
         x = z_quantized.astype(self.dtype)
         x = nn.Conv(block_in, (3, 3), padding="SAME", dtype=self.dtype, name="conv_in")(x)
         x = ResidualStage(block_in, block_in, num_res_blocks, dtype=self.dtype,
@@ -208,6 +210,10 @@ class ConvDecoder(nn.Module):
             else:
                 x = ResidualStage(in_channels, out_channels, num_res_blocks,
                                   dtype=self.dtype, name=name)(x)
+            # keep decode activations (and, via the transpose rule, their
+            # backward cotangents) batch-sharded at stage boundaries — see
+            # parallel.mesh.constrain_batch
+            x = constrain_batch(x)
 
         x = group_norm("norm_out")(x).astype(self.dtype)
         x = nn.silu(x)

@@ -105,6 +105,37 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def constrain_batch(x):
+    """Pin an activation (leading dim = batch) to P(('data','fsdp')) inside
+    an ambient `with mesh:` trace; no-op anywhere else.
+
+    Used at the tokenizer decoder's stage boundaries: with fsdp-sharded
+    conv kernels the decode BACKWARD otherwise mixes batch-sharded
+    activation cotangents with channels-over-fsdp layouts coming out of the
+    kernel-gradient computation, and the SPMD partitioner bridges the
+    mismatch with an 'Involuntary full rematerialization' (replicate +
+    re-partition) at up_*/reduce_sum and norm_out/add_any
+    (MULTICHIP_r04.json). A sharding constraint transposes onto the
+    cotangent at the same point, so the re-shard happens inside the conv
+    gradient (where SPMD has efficient collective lowerings) instead.
+    Correctness-preserving under GSPMD either way."""
+    try:
+        from jax._src import mesh as mesh_lib
+
+        m = mesh_lib.thread_resources.env.physical_mesh
+    except Exception:  # noqa: BLE001 — internal API; constraint is optional
+        return x
+    if m is None or m.empty or m.size <= 1:
+        return x
+    if not {"data", "fsdp"} <= set(m.axis_names):
+        return x
+    shards = m.shape["data"] * m.shape["fsdp"]
+    if x.shape[0] % shards != 0:
+        return x
+    spec = P(("data", "fsdp"), *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(m, spec))
+
+
 # --- parameter partitioning rules -----------------------------------------
 # (path regex, PartitionSpec). First match WITH DIVISIBLE DIMS wins — a rule
 # whose axis sizes don't divide the leaf's dims is skipped, so a pattern may
