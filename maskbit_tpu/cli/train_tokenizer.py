@@ -341,7 +341,7 @@ def _eval_reconstruction(model, state, eval_loader, config,
     per-host batch cap comes from `eval.max_eval_batches` (0 = the full eval
     split, the reference's behavior with a config-sized eval_dataloader)."""
     from maskbit_tpu.eval.streaming import TokenizerEvaluator
-    from maskbit_tpu.parallel.mesh import host_accessible
+    from maskbit_tpu.parallel.mesh import host_accessible, host_local_mesh
 
     if max_batches is None:
         max_batches = config.select("eval.max_eval_batches", 50)
@@ -355,15 +355,21 @@ def _eval_reconstruction(model, state, eval_loader, config,
     # so each host evaluates its shard split with purely local compute
     params = {"params": host_accessible(_eval_params(state))}
     apply_fn = jax.jit(lambda v, x: model.apply(v, x))
-    for i, batch in enumerate(eval_loader):
-        if max_batches and i >= max_batches:
-            break
-        images = jnp.asarray(batch["image"])
-        recons, result = apply_fn(params, images)
-        evaluator.update(
-            images, jnp.clip(recons, 0.0, 1.0),
-            codebook_indices=result["min_encoding_indices"],
-        )
+    # host_local_mesh: each host's eval compute is HOST-LOCAL (it scores its
+    # own shard split) — inside the training `with mesh:` block the decoder's
+    # constrain_batch would otherwise turn this jit into a cross-process
+    # GSPMD program whose outputs span non-addressable devices
+    with host_local_mesh():
+        for i, batch in enumerate(eval_loader):
+            if max_batches and i >= max_batches:
+                break
+            images = jnp.asarray(batch["image"])
+            recons, result = apply_fn(params, images)
+            evaluator.update(
+                images, jnp.clip(recons, 0.0, 1.0),
+                codebook_indices=result["min_encoding_indices"],
+            )
+    # the merge is a cross-host collective: OUTSIDE the host-local context
     evaluator.merge_across_hosts()
     return evaluator.result()
 

@@ -118,7 +118,17 @@ def constrain_batch(x):
     (MULTICHIP_r04.json). A sharding constraint transposes onto the
     cotangent at the same point, so the re-shard happens inside the conv
     gradient (where SPMD has efficient collective lowerings) instead.
-    Correctness-preserving under GSPMD either way."""
+    Correctness-preserving under GSPMD either way.
+
+    TRACE-ONLY: applied eagerly the constraint is a reshard, not an
+    annotation — and the decoder is also applied eagerly from MAIN-ONLY
+    host code inside the training ``with mesh:`` block (viz decodes),
+    where a reshard onto the cross-process mesh would crash. Host-local
+    JITTED decoder calls on a pod must run under ``host_local_mesh()``
+    (the standing round-3 invariant), which makes this a no-op via the
+    size-1 check."""
+    if not isinstance(x, jax.core.Tracer):
+        return x
     try:
         from jax._src import mesh as mesh_lib
 

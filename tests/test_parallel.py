@@ -297,3 +297,51 @@ def test_multislice_indivisible_data_falls_back():
     arr = _device_array((1, 4, 2), devs)  # data=1 % 2 slices != 0
     assert arr.shape == (1, 4, 2)
     assert {d.id for d in arr.flatten()} == set(range(8))
+
+
+@needs_8
+def test_constrain_batch_trace_only_and_divisibility():
+    """constrain_batch (the Stage-I decoder remat fix) must be: identity in
+    eager mode even on-mesh (main-only viz decodes run eagerly inside `with
+    mesh:` — an eager reshard onto a cross-process mesh would crash), a real
+    batch constraint inside jit, and skipped when the batch doesn't divide
+    the (data, fsdp) plane."""
+    from maskbit_tpu.parallel.mesh import constrain_batch
+
+    x = jnp.arange(16.0).reshape(4, 2, 2, 1)
+    assert constrain_batch(x) is x  # no ambient mesh
+    mesh = create_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    with mesh:
+        assert constrain_batch(x) is x  # eager: identity even on-mesh
+        out = jax.jit(constrain_batch)(jax.device_put(x, batch_sharding(mesh)))
+        assert out.sharding.shard_shape(out.shape)[0] == 1  # 4/(data*fsdp)
+        odd = jnp.zeros((3, 2, 2, 1))
+        out_odd = jax.jit(constrain_batch)(odd)
+        # 3 doesn't divide the 4-way (data, fsdp) plane: no constraint
+        assert out_odd.sharding.shard_shape(out_odd.shape) == out_odd.shape
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
+@needs_8
+def test_decoder_on_mesh_matches_off_mesh():
+    """The decoder's stage-boundary sharding constraints (constrain_batch)
+    must not change numerics: fsdp+tensor-sharded decode == plain decode."""
+    from maskbit_tpu.models.tokenizer import ConvVQModel
+
+    model = ConvVQModel(
+        num_channels=3, hidden_channels=32, channel_mult=(1, 2),
+        num_resolutions=2, num_res_blocks=1, token_size=4, codebook_size=16,
+        quantizer_type="lookup-free", entropy_loss_weight=0.0,
+    )
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0.0, 1.0, (4, 16, 16, 3)), jnp.float32)
+    variables = model.init(jax.random.key(0), images)
+    expected, _ = model.apply(variables, images)
+
+    mesh = create_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    with mesh:
+        params_s = shard_params(variables["params"], mesh)
+        images_s = jax.device_put(images, batch_sharding(mesh))
+        out, _ = jax.jit(lambda p, x: model.apply({"params": p}, x))(params_s, images_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               atol=2e-5, rtol=1e-4)
